@@ -1,0 +1,29 @@
+from lap_tpu.parallel.mesh import (
+    BATCH_AXIS,
+    DATA_AXES,
+    FSDP_AXIS,
+    TP_AXIS,
+    activation_sharding_constraint,
+    data_sharding,
+    get_mesh,
+    make_mesh,
+    pick_fsdp_devices,
+    replicated,
+    set_mesh,
+)
+from lap_tpu.parallel.sharding import fsdp_sharding
+
+__all__ = [
+    "BATCH_AXIS",
+    "DATA_AXES",
+    "FSDP_AXIS",
+    "TP_AXIS",
+    "activation_sharding_constraint",
+    "data_sharding",
+    "fsdp_sharding",
+    "get_mesh",
+    "make_mesh",
+    "pick_fsdp_devices",
+    "replicated",
+    "set_mesh",
+]

@@ -1,0 +1,177 @@
+"""Device-mesh construction for DP x FSDP x TP parallelism.
+
+Capability parity with the reference multi-host FSDP mesh builder
+(``src/lap/training/mh_sharding.py:14-77`` in lihzha/lap), redesigned for TPU:
+
+- A 3-D logical mesh ``(dp, fsdp, tp)``. The reference only has
+  ``(batch, fsdp)``; we add a tensor-parallel axis so attention heads and MLP
+  hidden dims can shard over ICI. With ``tp=1`` the layout semantics match the
+  reference exactly.
+- FSDP groups are laid out so they are contiguous in the physical device
+  order: when a group fits inside one host/slice it stays intra-host (gradient
+  all-reduce rides ICI), and when it spans hosts it is built from whole hosts
+  (reference ``mh_sharding.py:27-60`` behavior).
+- A context-managed "current mesh" that activation-sharding constraints pick
+  up from anywhere in model code without threading the mesh through call
+  signatures.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import logging
+import threading
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+logger = logging.getLogger(__name__)
+
+# Logical axis names.
+BATCH_AXIS = "dp"
+FSDP_AXIS = "fsdp"
+TP_AXIS = "tp"
+
+# Data (batch dim) shards over dp AND fsdp: FSDP groups also act as extra
+# data-parallel replicas (ZeRO-3 style), mirroring the reference DATA_AXIS
+# = ("batch", "fsdp").
+DATA_AXES = (BATCH_AXIS, FSDP_AXIS)
+
+MESH_AXES = (BATCH_AXIS, FSDP_AXIS, TP_AXIS)
+
+
+def default_devices() -> list:
+    """Devices used for mesh construction.
+
+    ``LAP_TPU_MESH_PLATFORM`` (e.g. "cpu") selects a specific backend — used
+    by the test harness to build virtual multi-device CPU meshes even when a
+    TPU plugin is registered in the same process.
+    """
+    import os
+
+    platform = os.environ.get("LAP_TPU_MESH_PLATFORM")
+    if platform:
+        return jax.devices(platform)
+    return jax.devices()
+
+
+class _MeshState(threading.local):
+    mesh: Mesh | None = None
+
+
+_STATE = _MeshState()
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Logical parallelism layout.
+
+    fsdp_devices * tp_devices must divide the total device count; the
+    remaining factor becomes pure data parallelism.
+    """
+
+    fsdp_devices: int = 1
+    tp_devices: int = 1
+
+    def __post_init__(self):
+        if self.fsdp_devices < 1 or self.tp_devices < 1:
+            raise ValueError("fsdp_devices and tp_devices must be >= 1")
+
+
+def make_mesh(
+    fsdp_devices: int = 1,
+    tp_devices: int = 1,
+    *,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ``Mesh`` with axes ``(dp, fsdp, tp)``.
+
+    The physical device order (from ``mesh_utils.create_device_mesh`` when
+    possible) is reshaped so that the tp axis varies fastest (tightest ICI
+    neighborhood), then fsdp, then dp. This keeps each FSDP all-gather /
+    reduce-scatter and each TP collective on physically adjacent chips.
+    """
+    if devices is None:
+        devices = default_devices()
+    n = len(devices)
+    model_devices = fsdp_devices * tp_devices
+    if n % model_devices != 0:
+        raise ValueError(
+            f"{n} devices not divisible by fsdp_devices*tp_devices ="
+            f" {fsdp_devices}*{tp_devices}"
+        )
+    dp = n // model_devices
+    shape = (dp, fsdp_devices, tp_devices)
+    try:
+        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:  # noqa: BLE001 - CPU/virtual meshes can reject topology hints
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, MESH_AXES)
+
+
+def pick_fsdp_devices(requested: int, n_devices: int | None = None) -> int:
+    """Largest divisor of the device count that is <= requested.
+
+    Mirrors the reference's graceful single-process fallback
+    (``scripts/train.py:134-147``): asking for more FSDP shards than devices
+    degrades to the best feasible layout instead of erroring.
+    """
+    if n_devices is None:
+        n_devices = jax.device_count()
+    requested = max(1, min(requested, n_devices))
+    for cand in range(requested, 0, -1):
+        if n_devices % cand == 0:
+            return cand
+    return 1
+
+
+@contextlib.contextmanager
+def set_mesh(mesh: Mesh):
+    """Make ``mesh`` the ambient mesh for activation sharding constraints."""
+    if _STATE.mesh is not None:
+        raise ValueError("A mesh is already active; nesting is not supported.")
+    _STATE.mesh = mesh
+    try:
+        yield
+    finally:
+        _STATE.mesh = None
+
+
+def get_mesh() -> Mesh | None:
+    return _STATE.mesh
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a batch pytree: batch dim over (dp, fsdp)."""
+    return NamedSharding(mesh, PartitionSpec(DATA_AXES))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def activation_sharding_constraint(pytree):
+    """Constrain leading (batch) dim of every leaf to the data axes.
+
+    No-op outside a ``set_mesh`` scope so model code runs unchanged in
+    single-device unit tests.
+    """
+    mesh = get_mesh()
+    if mesh is None:
+        return pytree
+    return jax.lax.with_sharding_constraint(
+        pytree, NamedSharding(mesh, PartitionSpec(DATA_AXES))
+    )
+
+
+def logical_to_sharding(mesh: Mesh, *axes: str | None) -> NamedSharding:
+    """Build a NamedSharding from per-dim logical axis names.
+
+    Accepted names: 'data' -> (dp, fsdp); 'fsdp' -> fsdp; 'tp' -> tp;
+    None -> replicated dim.
+    """
+    table = {"data": DATA_AXES, "fsdp": FSDP_AXIS, "tp": TP_AXIS, None: None}
+    return NamedSharding(mesh, PartitionSpec(*(table[a] for a in axes)))

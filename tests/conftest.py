@@ -1,0 +1,30 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding logic (FSDP/TP layouts, collectives, batch divisibility)
+is validated on host CPU with ``xla_force_host_platform_device_count``, per
+the test strategy in SURVEY.md §4.
+
+The ambient environment may register a real-TPU PJRT plugin at interpreter
+startup (sitecustomize) which cannot be unregistered; the CPU backend still
+coexists with it, so we (a) request 8 virtual CPU devices, (b) point the
+default device at CPU, and (c) tell lap_tpu mesh construction to build
+meshes from the CPU platform.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# If no TPU plugin was force-registered, run fully on CPU.
+if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+# Meshes in lap_tpu build from this platform's devices.
+os.environ["LAP_TPU_MESH_PLATFORM"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
