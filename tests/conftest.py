@@ -28,3 +28,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
+# Make CPU the *default backend* even when a TPU plugin is registered, so
+# jax.default_backend() == "cpu" and Pallas kernels pick interpret mode.
+jax.config.update("jax_platform_name", "cpu")
