@@ -34,7 +34,8 @@ class SiglipConfig:
     patch_size: int = 14
     # Gemma3 extensions:
     pool_to_tokens: int | None = None  # average-pool grid to this many tokens
-    head_dim_out: int | None = None  # project to LLM width (no bias)
+    head_dim_out: int | None = None  # project to LLM width
+    head_bias: bool = True  # big_vision head has bias; Gemma3's does not
     soft_embedding_norm: bool = False
 
 
@@ -205,6 +206,6 @@ class SigLIP(nn.Module):
 
         if cfg.head_dim_out:
             x = nn.Dense(
-                cfg.head_dim_out, use_bias=False, name="head", dtype=x.dtype
+                cfg.head_dim_out, use_bias=cfg.head_bias, name="head", dtype=x.dtype
             )(x)
         return x

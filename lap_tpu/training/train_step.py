@@ -1,0 +1,104 @@
+"""The jitted training / validation step.
+
+Capability parity with lihzha/lap ``scripts/train.py:329-450``
+(TrainingStepRunner / ValidationStepRunner), built for pjit over the
+(dp, fsdp, tp) mesh: fwd+bwd with rematerialized layers, optax update,
+staged EMA, grad/param norms — all one fused XLA program with donated state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lap_tpu.training.optimizer import EmaSchedule
+from lap_tpu.training.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class StepFunctions:
+    train_step: Callable
+    val_step: Callable
+    init_fn: Callable
+
+
+def make_step_functions(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    ema_schedule: EmaSchedule | None = None,
+    param_dtype=jnp.float32,
+) -> StepFunctions:
+    """Build pure functions over (rng, state, batch); jit/pjit them outside."""
+
+    def init_fn(rng) -> TrainState:
+        init_rng, loss_rng = jax.random.split(rng)
+        variables = model.init(init_rng, loss_rng, method=model.init_params_fn)
+        params = jax.tree.map(
+            lambda x: x.astype(param_dtype), variables["params"]
+        )
+        opt_state = tx.init(params)
+        ema_params = None
+        if ema_schedule is not None and ema_schedule.has_ema():
+            ema_params = jax.tree.map(lambda x: x, params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+        )
+
+    def loss_fn(params, rng, observation, actions, train):
+        loss, metrics = model.apply(
+            {"params": params},
+            rng,
+            observation,
+            actions,
+            train=train,
+            method=model.compute_loss,
+        )
+        return loss, metrics
+
+    def train_step(rng, state: TrainState, batch):
+        observation, actions = batch
+        step_rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, step_rng, observation, actions, True
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema_params = state.ema_params
+        if ema_params is not None:
+            decay, enabled = ema_schedule.get_decay_for_step(state.step)
+            ema_params = jax.tree.map(
+                lambda e, p: jnp.where(enabled, decay * e + (1 - decay) * p, p),
+                ema_params,
+                params,
+            )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["param_norm"] = optax.global_norm(params)
+        return new_state, metrics
+
+    def val_step(rng, state: TrainState, batch):
+        observation, actions = batch
+        params = state.ema_params if state.ema_params is not None else state.params
+        loss, metrics = loss_fn(params, rng, observation, actions, False)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    return StepFunctions(train_step=train_step, val_step=val_step, init_fn=init_fn)
