@@ -1,0 +1,164 @@
+"""Inference policies: transform pipeline around the jitted model.
+
+Capability parity with ``openpi.policies.policy.Policy`` as consumed by
+lihzha/lap (``policy_config_adapter.py``, ``policy_adapter.py:13-61``):
+input transforms (host numpy) -> jit sample_actions / sample_tokens ->
+output transforms, with per-request timing and an optional recorder.
+"""
+
+from __future__ import annotations
+
+import logging
+import pathlib
+import time
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lap_tpu.models.types import CoTObservation
+from lap_tpu.policies.model_transforms import compose
+
+logger = logging.getLogger(__name__)
+
+
+def _make_batch(data: dict) -> dict:
+    return jax.tree.map(lambda x: np.asarray(x)[None, ...], data)
+
+
+def _unbatch(data):
+    return jax.tree.map(lambda x: np.asarray(x)[0, ...], data)
+
+
+class BasePolicy:
+    def __init__(self, *, metadata: dict | None = None):
+        self._metadata = metadata or {}
+
+    @property
+    def metadata(self) -> dict:
+        return self._metadata
+
+    def infer(self, obs: dict) -> dict:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class Policy(BasePolicy):
+    """Flow-matching action-chunk policy."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        input_transforms: Sequence = (),
+        output_transforms: Sequence = (),
+        rng: jax.Array | None = None,
+        num_steps: int = 10,
+        metadata: dict | None = None,
+    ):
+        super().__init__(metadata=metadata)
+        self._model = model
+        self._params = params
+        self._input = compose(input_transforms)
+        self._output = compose(output_transforms)
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._sample = jax.jit(
+            lambda p, r, o: model.apply(
+                p, r, o, num_steps=num_steps, method=model.sample_actions
+            )
+        )
+
+    def infer(self, obs: dict) -> dict:
+        t_start = time.monotonic()
+        inputs = self._input(dict(obs))
+        batch = _make_batch(inputs)
+        observation = CoTObservation.from_dict(batch)
+        self._rng, rng = jax.random.split(self._rng)
+        actions = self._sample(self._params, rng, observation)
+        outputs = {
+            "state": np.asarray(batch["state"])[0],
+            "actions": np.asarray(actions)[0],
+        }
+        if "raw_state" in inputs:
+            outputs["raw_state"] = np.asarray(inputs["raw_state"])
+        result = self._output(outputs)
+        result["policy_timing"] = {
+            "infer_ms": (time.monotonic() - t_start) * 1000.0
+        }
+        return result
+
+
+class ARPolicy(BasePolicy):
+    """Autoregressive language-action policy (reference policy_adapter.py)."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        input_transforms: Sequence = (),
+        output_transforms: Sequence = (),
+        rng: jax.Array | None = None,
+        max_decoding_steps: int = 390,
+        temperature: float = 0.0,
+        metadata: dict | None = None,
+    ):
+        super().__init__(metadata=metadata)
+        self._model = model
+        self._params = params
+        self._input = compose(input_transforms)
+        self._output = compose(output_transforms)
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._sample = jax.jit(
+            lambda p, r, o: model.apply(
+                p,
+                r,
+                o,
+                max_decoding_steps=max_decoding_steps,
+                temperature=temperature,
+                method=model.sample_tokens,
+            )
+        )
+
+    def infer(self, obs: dict) -> dict:
+        t_start = time.monotonic()
+        inputs = self._input(dict(obs))
+        batch = _make_batch(inputs)
+        observation = CoTObservation.from_dict(batch)
+        self._rng, rng = jax.random.split(self._rng)
+        tokens = self._sample(self._params, rng, observation)
+        outputs = {
+            "state": np.asarray(batch["state"])[0],
+            "tokens": np.asarray(tokens),
+        }
+        if "raw_state" in inputs:
+            outputs["raw_state"] = np.asarray(inputs["raw_state"])
+        result = self._output(outputs)
+        result["policy_timing"] = {
+            "infer_ms": (time.monotonic() - t_start) * 1000.0
+        }
+        return result
+
+
+class PolicyRecorder(BasePolicy):
+    """Record every request/response pair to disk (openpi PolicyRecorder)."""
+
+    def __init__(self, policy: BasePolicy, record_dir: str):
+        super().__init__(metadata=policy.metadata)
+        self._policy = policy
+        self._record_dir = pathlib.Path(record_dir)
+        self._record_dir.mkdir(parents=True, exist_ok=True)
+        self._count = 0
+
+    def infer(self, obs: dict) -> dict:
+        result = self._policy.infer(obs)
+        path = self._record_dir / f"step_{self._count:06d}.npz"
+        flat = {}
+        for prefix, tree in (("obs", obs), ("out", result)):
+            for k, v in tree.items():
+                if isinstance(v, (np.ndarray, int, float, str, bool)):
+                    flat[f"{prefix}/{k}"] = np.asarray(v)
+        np.savez(path, **flat)
+        self._count += 1
+        return result

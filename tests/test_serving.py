@@ -1,0 +1,123 @@
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from lap_tpu.models.lap_model import LAPConfig
+from lap_tpu.models.tokenizer import PaligemmaTokenizer
+from lap_tpu.policies.input_transforms import CoTInputs
+from lap_tpu.policies.model_transforms import (
+    InjectDefaultPrompt,
+    Normalize,
+    NormStats,
+    PadStates,
+    TokenizePromptAndReasoning,
+    Unnormalize,
+)
+from lap_tpu.policies.policy import Policy
+from lap_tpu.serving import msgpack_numpy
+from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
+from lap_tpu.serving.websocket_policy_server import WebsocketPolicyServer
+
+TINY = LAPConfig(
+    dtype="float32",
+    paligemma_variant="dummy",
+    action_expert_variant="dummy",
+    siglip_variant="dummy",
+    action_dim=7,
+    action_horizon=4,
+    max_token_len=48,
+    image_resolution=(56, 56),
+    enable_action_training=True,
+    enable_langact_training=True,
+)
+
+
+def test_msgpack_numpy_roundtrip():
+    data = {
+        "a": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "b": {"c": np.bool_(True), "d": "text", "e": 3},
+        "img": np.zeros((4, 4, 3), np.uint8),
+    }
+    out = msgpack_numpy.unpackb(msgpack_numpy.packb(data))
+    np.testing.assert_array_equal(out["a"], data["a"])
+    assert out["b"]["d"] == "text"
+    assert out["img"].dtype == np.uint8
+
+
+def _build_policy():
+    model = TINY.create_module()
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+    )
+    tokenizer = PaligemmaTokenizer(max_len=TINY.max_token_len)
+    norm_stats = {
+        "state": NormStats(mean=np.zeros(7), std=np.ones(7)),
+        "actions": NormStats(mean=np.zeros(7), std=np.ones(7)),
+    }
+    input_transforms = [
+        InjectDefaultPrompt("do something"),
+        CoTInputs(action_dim=TINY.action_dim, language_action_format="verbose_with_rotation"),
+        Normalize(norm_stats, normalization_type="normal"),
+        PadStates(TINY.action_dim),
+        TokenizePromptAndReasoning(tokenizer=tokenizer, discrete_state_input=True),
+    ]
+    output_transforms = [Unnormalize(norm_stats, normalization_type="normal")]
+    return Policy(
+        model,
+        params,
+        input_transforms=input_transforms,
+        output_transforms=output_transforms,
+        num_steps=2,
+        metadata={"model": "tiny-lap"},
+    )
+
+
+def _obs():
+    img = np.random.default_rng(0).integers(0, 255, (56, 56, 3), np.uint8)
+    return {
+        "observation": {
+            "base_0_rgb": img,
+            "left_wrist_0_rgb": img,
+            "state": np.zeros(7, np.float32),
+        },
+        "prompt": "pick up the cup",
+    }
+
+
+def test_policy_infer_direct():
+    policy = _build_policy()
+    result = policy.infer(_obs())
+    assert result["actions"].shape == (TINY.action_horizon, TINY.action_dim)
+    assert np.isfinite(result["actions"]).all()
+    assert result["policy_timing"]["infer_ms"] > 0
+
+
+def test_websocket_roundtrip():
+    policy = _build_policy()
+    server = WebsocketPolicyServer(policy, host="127.0.0.1", port=18473)
+
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.run())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(0.5)
+
+    client = WebsocketClientPolicy(host="127.0.0.1", port=18473)
+    assert client.get_server_metadata() == {"model": "tiny-lap"}
+    result = client.infer(_obs())
+    assert result["actions"].shape == (TINY.action_horizon, TINY.action_dim)
+    assert np.isfinite(result["actions"]).all()
+    # Second request reuses the connection.
+    result2 = client.infer(_obs())
+    assert result2["actions"].shape == (TINY.action_horizon, TINY.action_dim)
+    client.close()
+    loop.call_soon_threadsafe(loop.stop)
