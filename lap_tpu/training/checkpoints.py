@@ -1,0 +1,184 @@
+"""Checkpoint management.
+
+Capability parity with lihzha/lap ``training/checkpoints.py``: orbax
+CheckpointManager with three items per step —
+
+- ``train_state``: the full TrainState (params, opt state, EMA, step),
+- ``params``: inference weights, with EMA split out when present
+  (reference ``_split_params``, checkpoints.py:529-547),
+- ``assets``: norm-stats JSON + per-process dataloader state,
+
+async save with retention (``keep_period``), resume detection, and explicit
+sharding trees on restore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _state_dict(state) -> dict:
+    # NOT dataclasses.asdict: that deep-copies leaves, and ShapeDtypeStructs
+    # carrying NamedShardings (devices) are not deep-copyable.
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "ema_params": state.ema_params,
+    }
+
+from lap_tpu.training.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class CheckpointManager:
+    directory: Path
+    keep_period: int | None = None
+    max_to_keep: int = 1
+    async_save: bool = True
+
+    def __post_init__(self):
+        self.directory = Path(self.directory).resolve()
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=self.max_to_keep,
+            keep_period=self.keep_period,
+            create=True,
+            enable_async_checkpointing=self.async_save,
+        )
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=options,
+            item_names=("train_state", "params"),
+        )
+
+    # -- queries ------------------------------------------------------------
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def all_steps(self) -> list[int]:
+        return sorted(self._mgr.all_steps())
+
+    # -- save ---------------------------------------------------------------
+    def save(self, step: int, state: TrainState, *, assets: dict | None = None) -> None:
+        """Save train_state + inference params (+ assets) at ``step``."""
+        inference_params = state.ema_params if state.ema_params is not None else state.params
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                train_state=ocp.args.PyTreeSave(_state_dict(_as_saveable(state))),
+                params=ocp.args.PyTreeSave({"params": inference_params}),
+            ),
+        )
+        if assets:
+            # Assets are tiny JSON files; write synchronously next to the step.
+            self._mgr.wait_until_finished()
+            assets_dir = self.directory / str(step) / "assets"
+            assets_dir.mkdir(parents=True, exist_ok=True)
+            for rel_path, payload in assets.items():
+                out = assets_dir / rel_path
+                out.parent.mkdir(parents=True, exist_ok=True)
+                out.write_text(json.dumps(payload))
+
+    def wait_until_finished(self):
+        self._mgr.wait_until_finished()
+
+    # -- restore ------------------------------------------------------------
+    def restore(self, step: int | None, state_template: TrainState) -> TrainState:
+        """Restore a TrainState; template supplies structure/sharding."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        template = _state_dict(_as_saveable(state_template))
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                train_state=ocp.args.PyTreeRestore(
+                    jax.tree.map(_restore_spec, template)
+                )
+            ),
+        )["train_state"]
+        if restored.get("ema_params") == {}:  # saved placeholder for "no EMA"
+            restored["ema_params"] = None
+        return TrainState(**restored)
+
+    def load_assets(self, step: int, rel_path: str) -> Any | None:
+        path = self.directory / str(step) / "assets" / rel_path
+        if not path.exists():
+            return None
+        return json.loads(path.read_text())
+
+
+def _as_saveable(state: TrainState) -> TrainState:
+    # Drop None ema (orbax requires concrete leaves); encode as empty dict.
+    if state.ema_params is None:
+        return dataclasses.replace(state, ema_params={})
+    return state
+
+
+def _restore_spec(x):
+    if hasattr(x, "sharding") or hasattr(x, "shape"):
+        return ocp.type_handlers.ArrayRestoreArgs(
+            sharding=getattr(x, "sharding", None)
+        )
+    return x
+
+
+def initialize_checkpoint_dir(
+    checkpoint_dir: Path, *, keep_period: int | None, overwrite: bool, resume: bool
+) -> tuple[CheckpointManager, bool]:
+    """Create/inspect the checkpoint dir; returns (manager, resuming)
+    (reference checkpoints.py:67-127 semantics)."""
+    checkpoint_dir = Path(checkpoint_dir).resolve()
+    resuming = False
+    if checkpoint_dir.exists() and any(checkpoint_dir.iterdir()):
+        if overwrite:
+            shutil.rmtree(checkpoint_dir)
+            checkpoint_dir.mkdir(parents=True, exist_ok=True)
+            logger.info("wiped checkpoint dir %s", checkpoint_dir)
+        elif resume:
+            resuming = True
+        else:
+            raise FileExistsError(
+                f"{checkpoint_dir} exists; pass resume=True or overwrite=True"
+            )
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+    mgr = CheckpointManager(checkpoint_dir, keep_period=keep_period)
+    if resuming and mgr.latest_step() is None:
+        logger.info("resume requested but no checkpoint found; starting fresh")
+        resuming = False
+    return mgr, resuming
+
+
+def restore_params(params_dir: str | Path, *, dtype=None) -> dict:
+    """Load inference params saved by CheckpointManager (``.../{step}/params``)."""
+    path = Path(params_dir).resolve()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    params = restored["params"] if isinstance(restored, dict) and "params" in restored else restored
+    if dtype is not None:
+        params = jax.tree.map(lambda x: x.astype(dtype) if hasattr(x, "astype") else x, params)
+    return params
+
+
+def load_norm_stats(assets_dir: str | Path, asset_id: str) -> dict | None:
+    """Read ``{assets_dir}/{asset_id}/norm_stats.json`` into NormStats
+    (reference checkpoints.py:477-497)."""
+    from lap_tpu.policies.model_transforms import NormStats
+
+    path = Path(assets_dir) / asset_id / "norm_stats.json"
+    if not path.exists():
+        return None
+    raw = json.loads(path.read_text())
+    stats = raw.get("norm_stats", raw)
+    return {k: NormStats.from_dict(v) for k, v in stats.items()}

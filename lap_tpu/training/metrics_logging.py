@@ -1,0 +1,96 @@
+"""Metric reduction and logging.
+
+Capability parity with lihzha/lap ``training/metrics_logging.py``: stack
+per-step metric dicts, reduce scalars, and log to console + JSONL (+ wandb
+when importable and enabled).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+try:
+    import wandb as _wandb
+except ImportError:  # wandb is optional
+    _wandb = None
+
+
+class MetricsLogger:
+    def __init__(self, *, log_dir: str | Path | None = None, wandb_enabled: bool = False,
+                 project: str = "lap_tpu", exp_name: str = "default", config: dict | None = None):
+        self._jsonl = None
+        if log_dir is not None:
+            path = Path(log_dir)
+            path.mkdir(parents=True, exist_ok=True)
+            self._jsonl = (path / "metrics.jsonl").open("a")
+        self._wandb = None
+        if wandb_enabled and _wandb is not None:
+            self._wandb = _wandb.init(project=project, name=exp_name, config=config or {})
+        self._t_last = time.monotonic()
+        self._last_step = 0
+
+    def log(self, step: int, metrics: dict, *, prefix: str = "train") -> dict:
+        scalars = reduce_metrics(metrics)
+        now = time.monotonic()
+        if step > self._last_step:
+            scalars["steps_per_sec"] = (step - self._last_step) / max(now - self._t_last, 1e-9)
+        self._t_last, self._last_step = now, step
+        record = {f"{prefix}/{k}": v for k, v in scalars.items()}
+        record["step"] = step
+        line = " ".join(
+            f"{k.split('/')[-1]}={v:.4g}" for k, v in sorted(record.items()) if k != "step"
+        )
+        logger.info("step %6d | %s", step, line)
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(record) + "\n")
+            self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log(record, step=step)
+        return scalars
+
+    def close(self):
+        if self._jsonl is not None:
+            self._jsonl.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def reduce_metrics(metrics: dict) -> dict:
+    """Keep scalar-reducible entries; mean-reduce arrays."""
+    out = {}
+    for k, v in metrics.items():
+        try:
+            arr = np.asarray(v)
+        except Exception:  # noqa: BLE001
+            continue
+        if arr.dtype == object or arr.dtype.kind in "US":
+            continue
+        if arr.size == 0:
+            continue
+        if arr.ndim == 0:
+            out[k] = float(arr)
+        elif arr.size <= 4096:
+            out[k] = float(arr.mean())
+    return out
+
+
+def stack_metrics(metric_list: list[dict]) -> dict:
+    """Stack a window of per-step metric dicts into mean scalars."""
+    if not metric_list:
+        return {}
+    keys = metric_list[0].keys()
+    out = {}
+    for k in keys:
+        vals = [m[k] for m in metric_list if k in m]
+        try:
+            out[k] = np.mean([np.asarray(v).mean() for v in vals])
+        except Exception:  # noqa: BLE001
+            continue
+    return out

