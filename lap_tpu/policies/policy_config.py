@@ -1,0 +1,123 @@
+"""Build inference policies from a TrainConfig + checkpoint directory.
+
+Capability parity with lihzha/lap ``policies/policy_config_adapter.py``:
+restore params (bf16), load norm stats from the checkpoint's assets dir,
+assemble the input stack [repack -> InjectDefaultPrompt -> data transforms
+-> Normalize -> model transforms] and the strategy-dependent output stack.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import jax.numpy as jnp
+
+from lap_tpu.policies.model_transforms import Normalize, Unnormalize
+from lap_tpu.policies.policy import ARPolicy, Policy
+
+logger = logging.getLogger(__name__)
+
+
+def _load_norm_stats(checkpoint_dir: Path, asset_id: str | None):
+    from lap_tpu.training.checkpoints import load_norm_stats
+
+    assets_dir = checkpoint_dir / "assets"
+    if not assets_dir.exists():
+        logger.warning("no assets dir at %s; skipping normalization", assets_dir)
+        return None
+    if asset_id:
+        stats = load_norm_stats(assets_dir, asset_id)
+        if stats is not None:
+            return stats
+    # Fall back to the first asset dir with norm stats.
+    for sub in sorted(assets_dir.iterdir()):
+        if (sub / "norm_stats.json").exists():
+            return load_norm_stats(assets_dir, sub.name)
+    return None
+
+
+def _build_transform_stacks(train_config, norm_stats, *, default_prompt=None, ar: bool):
+    data_cfg = train_config.data
+    model_cfg = train_config.model
+    data_group = data_cfg.data_transforms(model_cfg)
+    model_group = data_cfg.model_transforms(model_cfg, include_outputs=ar)
+    norm_type = data_cfg.action_proprio_normalization_type
+
+    from lap_tpu.policies.model_transforms import InjectDefaultPrompt
+
+    input_stack = [
+        InjectDefaultPrompt(default_prompt),
+        *data_group.inputs,
+        Normalize(norm_stats, normalization_type=norm_type),
+        *model_group.inputs,
+    ]
+    if ar:
+        # Detokenize -> parse reasoning to deltas (raw, physical units).
+        output_stack = [*model_group.outputs, *data_group.outputs]
+    else:
+        output_stack = [Unnormalize(norm_stats, normalization_type=norm_type)]
+    return input_stack, output_stack
+
+
+def _restore(train_config, checkpoint_dir: Path):
+    from lap_tpu.training.checkpoints import restore_params
+
+    # Inference always runs the model in bf16 on TPU (reference
+    # policy_config_adapter loads params via model.load in the model dtype).
+    dtype = jnp.bfloat16 if train_config.model.dtype == "bfloat16" else jnp.float32
+    params = restore_params(checkpoint_dir / "params", dtype=dtype)
+    # Inference disables the training-only stop-gradient (serve_policy.py:77).
+    import dataclasses
+
+    model_cfg = dataclasses.replace(train_config.model, stop_action_to_vlm_grad=False)
+    model = model_cfg.create_module()
+    return model, {"params": params} if "params" not in params else params
+
+
+def create_trained_policy(
+    train_config,
+    checkpoint_dir: str | Path,
+    *,
+    default_prompt: str | None = None,
+    num_steps: int = 10,
+) -> Policy:
+    checkpoint_dir = Path(checkpoint_dir)
+    model, params = _restore(train_config, checkpoint_dir)
+    norm_stats = _load_norm_stats(checkpoint_dir, train_config.data.asset_id)
+    inputs, outputs = _build_transform_stacks(
+        train_config, norm_stats, default_prompt=default_prompt, ar=False
+    )
+    return Policy(
+        model,
+        params,
+        input_transforms=inputs,
+        output_transforms=outputs,
+        num_steps=num_steps,
+        metadata={"config": train_config.name, "mode": "flow"},
+    )
+
+
+def create_trained_policy_ar(
+    train_config,
+    checkpoint_dir: str | Path,
+    *,
+    default_prompt: str | None = None,
+    max_decoding_steps: int = 390,
+    temperature: float = 0.0,
+) -> ARPolicy:
+    checkpoint_dir = Path(checkpoint_dir)
+    model, params = _restore(train_config, checkpoint_dir)
+    norm_stats = _load_norm_stats(checkpoint_dir, train_config.data.asset_id)
+    inputs, outputs = _build_transform_stacks(
+        train_config, norm_stats, default_prompt=default_prompt, ar=True
+    )
+    return ARPolicy(
+        model,
+        params,
+        input_transforms=inputs,
+        output_transforms=outputs,
+        max_decoding_steps=max_decoding_steps,
+        temperature=temperature,
+        metadata={"config": train_config.name, "mode": "ar"},
+    )

@@ -164,7 +164,15 @@ def restore_params(params_dir: str | Path, *, dtype=None) -> dict:
     """Load inference params saved by CheckpointManager (``.../{step}/params``)."""
     path = Path(params_dir).resolve()
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path)
+        # Restore as host numpy arrays (no sharding requirement); the caller
+        # device_puts / shards them as needed.
+        import numpy as np
+
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.type_handlers.RestoreArgs(restore_type=np.ndarray), meta
+        )
+        restored = ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     params = restored["params"] if isinstance(restored, dict) and "params" in restored else restored
     if dtype is not None:
         params = jax.tree.map(lambda x: x.astype(dtype) if hasattr(x, "astype") else x, params)

@@ -1,0 +1,107 @@
+"""Policy server CLI.
+
+Capability parity with lihzha/lap ``scripts/serve_policy.py``: environment
+presets (LAP / LAP_AR / LAP_LIBERO / DEBUG) with default checkpoint dirs,
+optional request recording, and a websocket server on 0.0.0.0:8000.
+
+Usage:
+    python scripts/serve_policy.py --env LAP_LIBERO --checkpoint_dir ckpts/... [--port 8000]
+    python scripts/serve_policy.py --env DEBUG          # tiny random model
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import enum
+import logging
+
+
+class EnvMode(enum.Enum):
+    LAP = "LAP"
+    LAP_AR = "LAP_AR"
+    LAP_LIBERO = "LAP_LIBERO"
+    DEBUG = "DEBUG"
+
+
+@dataclasses.dataclass
+class Preset:
+    config_name: str
+    checkpoint_dir: str
+    ar: bool = False
+    default_prompt: str | None = None
+
+
+PRESETS = {
+    EnvMode.LAP: Preset("lap", "checkpoints/lap/params_latest"),
+    EnvMode.LAP_AR: Preset("lap", "checkpoints/lap/params_latest", ar=True),
+    EnvMode.LAP_LIBERO: Preset("lap_libero", "checkpoints/lap_libero/params_latest"),
+    EnvMode.DEBUG: Preset("debug", ""),
+}
+
+
+def create_policy(args):
+    from lap_tpu.policies import policy_config
+    from lap_tpu.training import config as _config
+
+    preset = PRESETS[EnvMode(args.env)]
+    config_name = args.config or preset.config_name
+    train_config = _config.get_config(config_name)
+    checkpoint_dir = args.checkpoint_dir or preset.checkpoint_dir
+    ar = args.ar if args.ar is not None else preset.ar
+
+    if EnvMode(args.env) == EnvMode.DEBUG and not checkpoint_dir:
+        # Randomly initialized tiny policy for pipeline debugging.
+        import jax
+
+        from lap_tpu.policies.policy import Policy
+        from lap_tpu.policies.policy_config import _build_transform_stacks
+
+        model = train_config.model.create_module()
+        params = model.init(
+            jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+        )
+        inputs, outputs = _build_transform_stacks(
+            train_config, None, default_prompt=args.default_prompt, ar=False
+        )
+        return Policy(
+            model, params, input_transforms=inputs, output_transforms=outputs,
+            num_steps=2, metadata={"config": "debug", "mode": "flow"},
+        )
+
+    if ar:
+        return policy_config.create_trained_policy_ar(
+            train_config, checkpoint_dir, default_prompt=args.default_prompt
+        )
+    return policy_config.create_trained_policy(
+        train_config, checkpoint_dir, default_prompt=args.default_prompt
+    )
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env", default="LAP", choices=[e.value for e in EnvMode])
+    parser.add_argument("--config", default=None, help="override config name")
+    parser.add_argument("--checkpoint_dir", default=None)
+    parser.add_argument("--default_prompt", default=None)
+    parser.add_argument("--ar", action=argparse.BooleanOptionalAction, default=None)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--record_dir", default=None)
+    args = parser.parse_args()
+
+    policy = create_policy(args)
+    if args.record_dir:
+        from lap_tpu.policies.policy import PolicyRecorder
+
+        policy = PolicyRecorder(policy, args.record_dir)
+
+    from lap_tpu.serving.websocket_policy_server import WebsocketPolicyServer
+
+    logging.info("serving %s on %s:%d", policy.metadata, args.host, args.port)
+    WebsocketPolicyServer(policy, host=args.host, port=args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
