@@ -124,8 +124,9 @@ class TransformedDataLoader:
         """Infinite iterator over device-placed batches."""
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        indexable = hasattr(self.dataset, "__getitem__")
 
-        def producer():
+        def producer_indexable():
             epoch = self._batches_seen * self.batch_size // max(len(self.dataset), 1)
             while not stop.is_set():
                 indices = self._sample_indices(epoch)
@@ -134,15 +135,31 @@ class TransformedDataLoader:
                         return
                     batch_idx = indices[start : start + self.batch_size]
                     samples = [self._transform(self.dataset[int(i)]) for i in batch_idx]
-                    batch = jax.tree.map(lambda *xs: np.stack(xs), *samples)
-                    out_q.put(batch)
+                    out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
                 epoch += 1
 
-        thread = threading.Thread(target=producer, daemon=True)
+        def producer_iterable():
+            samples = []
+            for raw in self.dataset:
+                if stop.is_set():
+                    return
+                samples.append(self._transform(raw))
+                if len(samples) == self.batch_size:
+                    out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
+                    samples = []
+            if samples and not self.drop_remainder:
+                out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
+            out_q.put(None)  # exhausted (validation)
+
+        thread = threading.Thread(
+            target=producer_indexable if indexable else producer_iterable, daemon=True
+        )
         thread.start()
         try:
             while True:
                 batch = out_q.get()
+                if batch is None:  # iterable dataset exhausted
+                    return
                 self._batches_seen += 1
                 yield self._to_device(batch)
         finally:

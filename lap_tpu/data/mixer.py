@@ -1,0 +1,219 @@
+"""Multi-dataset weighted mixture (the OXEDatasets equivalent).
+
+Parity with lihzha/lap ``datasets/dataset_mixer.py``: build every dataset in
+a named mixture, compute (and cache) normalization statistics BEFORE
+interleaving, normalize per dataset, then sample frames from the datasets
+with the mixture weights (optionally balanced by dataset size).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from lap_tpu.data import norm_stats as _norm_stats
+from lap_tpu.data.episode_pipeline import EpisodePipeline, PipelineConfig
+from lap_tpu.data.mixtures import get_mixture
+from lap_tpu.data.registry import get_dataset_config
+from lap_tpu.data.rlds import RLDSReader
+
+# Importing registers all standardization transforms.
+from lap_tpu.data import transforms_oxe  # noqa: F401
+
+logger = logging.getLogger(__name__)
+
+
+class RLDSFrameDataset:
+    """Iterable of frames for one RLDS dataset: episodes (shuffled shards)
+    -> pipeline -> shuffle buffer."""
+
+    def __init__(
+        self,
+        reader: RLDSReader,
+        pipeline: EpisodePipeline,
+        *,
+        split: str = "train",
+        shuffle_buffer_size: int = 10_000,
+        seed: int = 0,
+        repeat: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.reader = reader
+        self.pipeline = pipeline
+        self.split = split
+        self.shuffle_buffer_size = shuffle_buffer_size
+        self.seed = seed
+        self.repeat = repeat
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def episodes(self):
+        epoch = 0
+        while True:
+            for episode in self.reader.episodes(
+                self.split,
+                shard_index=self.process_index,
+                num_shards=self.process_count,
+            ):
+                yield episode
+            epoch += 1
+            if not self.repeat:
+                return
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        buffer: list = []
+        for episode in self.episodes():
+            for frame in self.pipeline.process_episode(episode):
+                if self.shuffle_buffer_size <= 1:
+                    yield frame
+                    continue
+                buffer.append(frame)
+                if len(buffer) >= self.shuffle_buffer_size:
+                    idx = rng.integers(0, len(buffer))
+                    buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+                    yield buffer.pop()
+        while buffer:
+            idx = rng.integers(0, len(buffer))
+            buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+            yield buffer.pop()
+
+
+class WeightedMixture:
+    """Sample frames from member datasets proportionally to weights."""
+
+    def __init__(self, datasets: list, weights: list[float], seed: int = 0):
+        self.datasets = datasets
+        w = np.asarray(weights, dtype=np.float64)
+        self.probs = w / w.sum()
+        self.seed = seed
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        iters = [iter(d) for d in self.datasets]
+        alive = list(range(len(iters)))
+        while alive:
+            probs = self.probs[alive] / self.probs[alive].sum()
+            pick = int(rng.choice(alive, p=probs))
+            try:
+                yield next(iters[pick])
+            except StopIteration:
+                alive.remove(pick)
+
+
+def _pipeline_for(train_config, ds_cfg, *, split: str) -> EpisodePipeline:
+    data_cfg = train_config.data
+    model_cfg = train_config.model
+    pc = PipelineConfig(
+        action_horizon=model_cfg.action_horizon,
+        action_dim=model_cfg.action_dim,
+        state_dim=model_cfg.action_dim,
+        action_encoding=data_cfg.action_encoding,
+        state_encoding=data_cfg.state_encoding,
+        horizon_seconds=tuple(data_cfg.horizon_seconds),
+        control_frequency=ds_cfg.control_frequency,
+        seed=train_config.seed,
+        val_fraction=data_cfg.val_fraction or 0.0,
+        split=split,
+        enable_prediction_training=model_cfg.enable_prediction_training,
+        pred_prob=data_cfg.pred_prob,
+        primary_pred_prob=data_cfg.primary_pred_prob,
+        resize_resolution=data_cfg.resize_resolution,
+        needs_wrist_rotation=ds_cfg.needs_wrist_rotation,
+        not_rotate_wrist_prob=data_cfg.not_rotate_wrist_prob,
+    )
+    return EpisodePipeline(
+        pc,
+        standardize_fn=ds_cfg.standardize_fn,
+        dataset_name=ds_cfg.name,
+        is_bimanual=ds_cfg.is_bimanual,
+        is_navigation=ds_cfg.is_navigation,
+    )
+
+
+def _stats_cache_path(train_config, mixture_name: str) -> Path:
+    return Path(train_config.data.rlds_data_dir) / "norm_stats_cache" / f"{mixture_name}.json"
+
+
+def compute_mixture_norm_stats(train_config, members, *, max_episodes_per_dataset=2_000):
+    """Global stats over all robot datasets in the mix (state + actions),
+    one pass per dataset, cached as JSON (reference dataset_mixer.py:170-227)."""
+
+    trackers: dict[str, _norm_stats.RunningStats] = {}
+    for name, _weight in members:
+        ds_cfg = get_dataset_config(name)
+        reader = RLDSReader(train_config.data.rlds_data_dir, name, ds_cfg.tfds_version)
+        pipe = _pipeline_for(train_config, ds_cfg, split="train")
+        count = 0
+        for episode in reader.episodes("train"):
+            traj = ds_cfg.standardize_fn(episode) if ds_cfg.standardize_fn else episode
+            if traj is None:
+                continue
+            traj = pipe._state_to_rot6d(traj)
+            traj = pipe._chunk_actions(traj)
+            traj = pipe._pad_dims(traj)
+            for key, arr in (
+                ("state", traj["observation"]["state"]),
+                ("actions", traj["actions"].reshape(-1, traj["actions"].shape[-1])),
+            ):
+                arr = np.asarray(arr, dtype=np.float64)
+                if key not in trackers:
+                    trackers[key] = _norm_stats.RunningStats(arr.shape[-1])
+                trackers[key].update(arr)
+            count += 1
+            if count >= max_episodes_per_dataset:
+                break
+        logger.info("norm stats: %s processed %d episodes", name, count)
+    return {k: t.finalize() for k, t in trackers.items()}
+
+
+def build_rlds_dataset(train_config, *, split: str = "train"):
+    """(iterable frame dataset, norm_stats) for the configured mixture."""
+    import jax
+
+    data_cfg = train_config.data
+    mixture_name = data_cfg.data_mix or data_cfg.repo_id
+    members = get_mixture(mixture_name)
+
+    cache = _stats_cache_path(train_config, mixture_name)
+    stats = None
+    if cache.exists() and not data_cfg.force_recompute_stats:
+        stats = _norm_stats.load_norm_stats(cache)
+    if stats is None:
+        logger.info("computing norm stats for mixture %s", mixture_name)
+        stats = compute_mixture_norm_stats(train_config, members)
+        if jax.process_index() == 0:
+            _norm_stats.save_norm_stats(cache, stats)
+
+    datasets, weights = [], []
+    per_ds_buffer = max(data_cfg.shuffle_buffer_size // max(len(members), 1), 1)
+    for i, (name, weight) in enumerate(members):
+        ds_cfg = get_dataset_config(name)
+        reader = RLDSReader(data_cfg.rlds_data_dir, name, ds_cfg.tfds_version)
+        pipe = _pipeline_for(train_config, ds_cfg, split=split)
+        datasets.append(
+            RLDSFrameDataset(
+                reader,
+                pipe,
+                split="train",  # RLDS splits are train-only; val comes from the hash split
+                shuffle_buffer_size=per_ds_buffer if split == "train" else 1,
+                seed=train_config.seed + i,
+                repeat=split == "train",
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
+        )
+        n_eps = reader.num_episodes("train")
+        if data_cfg.balance_weights and n_eps:
+            weight = weight * n_eps
+        weights.append(weight)
+
+    if len(datasets) == 1:
+        mixture = datasets[0]
+    else:
+        mixture = WeightedMixture(datasets, weights, seed=train_config.seed)
+    return mixture, stats

@@ -1,0 +1,125 @@
+"""Normalization statistics: streaming mean/var + histogram quantiles.
+
+Parity with lihzha/lap ``shared/normalize_adapter.py`` (float64 shifted-
+moment accumulation, 4096-bin histogram quantiles, JSON caching) and
+``datasets/utils/statistics.py`` (transition-weighted global grouping).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+NUM_QUANTILE_BINS = 4096
+
+
+class RunningStats:
+    """Streaming per-dimension stats over [N, D] batches."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.count = 0
+        self.sum = np.zeros(dim, np.float64)
+        self.sumsq = np.zeros(dim, np.float64)
+        self.min = np.full(dim, np.inf)
+        self.max = np.full(dim, -np.inf)
+        self._hist = None
+        self._hist_edges = None
+        self._buffer = []
+        self._buffered = 0
+
+    def update(self, batch: np.ndarray):
+        batch = np.asarray(batch, dtype=np.float64).reshape(-1, self.dim)
+        self.count += batch.shape[0]
+        self.sum += batch.sum(axis=0)
+        self.sumsq += (batch**2).sum(axis=0)
+        self.min = np.minimum(self.min, batch.min(axis=0))
+        self.max = np.maximum(self.max, batch.max(axis=0))
+        if self._hist is None:
+            self._buffer.append(batch)
+            self._buffered += batch.shape[0]
+            if self._buffered >= 50_000:
+                self._freeze_hist()
+        else:
+            self._add_hist(batch)
+
+    def _freeze_hist(self):
+        data = np.concatenate(self._buffer, axis=0)
+        lo = np.minimum(self.min, data.min(axis=0))
+        hi = np.maximum(self.max, data.max(axis=0))
+        span = np.where(hi - lo < 1e-12, 1.0, hi - lo)
+        self._hist_edges = (lo - 0.01 * span, hi + 0.01 * span)
+        self._hist = np.zeros((self.dim, NUM_QUANTILE_BINS), np.int64)
+        self._buffer = None
+        self._add_hist(data)
+
+    def _add_hist(self, batch):
+        lo, hi = self._hist_edges
+        idx = ((batch - lo) / (hi - lo) * NUM_QUANTILE_BINS).astype(np.int64)
+        idx = np.clip(idx, 0, NUM_QUANTILE_BINS - 1)
+        for d in range(self.dim):
+            np.add.at(self._hist[d], idx[:, d], 1)
+
+    def _quantile(self, q: float) -> np.ndarray:
+        if self._hist is None:
+            data = np.concatenate(self._buffer, axis=0) if self._buffer else np.zeros((1, self.dim))
+            return np.quantile(data, q, axis=0)
+        lo, hi = self._hist_edges
+        out = np.zeros(self.dim)
+        for d in range(self.dim):
+            cdf = np.cumsum(self._hist[d]) / max(self._hist[d].sum(), 1)
+            bin_idx = int(np.searchsorted(cdf, q))
+            bin_idx = min(bin_idx, NUM_QUANTILE_BINS - 1)
+            out[d] = lo[d] + (bin_idx + 0.5) / NUM_QUANTILE_BINS * (hi[d] - lo[d])
+        return out
+
+    def finalize(self):
+        from lap_tpu.policies.model_transforms import NormStats
+
+        n = max(self.count, 1)
+        mean = self.sum / n
+        var = np.maximum(self.sumsq / n - mean**2, 0.0)
+        return NormStats(
+            mean=mean.astype(np.float32),
+            std=np.sqrt(var).astype(np.float32),
+            q01=self._quantile(0.01).astype(np.float32),
+            q99=self._quantile(0.99).astype(np.float32),
+            min=self.min.astype(np.float32),
+            max=self.max.astype(np.float32),
+        )
+
+
+def compute_norm_stats(frames, keys=("state", "actions")) -> dict:
+    """One pass over an iterable of frames -> {key: NormStats}."""
+    trackers: dict[str, RunningStats] = {}
+    for frame in frames:
+        for key in keys:
+            value = frame.get(key) if key != "state" else frame["observation"]["state"]
+            if value is None:
+                continue
+            arr = np.asarray(value, dtype=np.float64).reshape(-1, np.shape(value)[-1])
+            if key not in trackers:
+                trackers[key] = RunningStats(arr.shape[-1])
+            trackers[key].update(arr)
+    return {k: t.finalize() for k, t in trackers.items()}
+
+
+def save_norm_stats(path: str | Path, stats: dict) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps({"norm_stats": {k: v.to_dict() for k, v in stats.items()}}))
+
+
+def load_norm_stats(path: str | Path) -> dict | None:
+    from lap_tpu.policies.model_transforms import NormStats
+
+    path = Path(path)
+    if not path.exists():
+        return None
+    raw = json.loads(path.read_text())
+    return {k: NormStats.from_dict(v) for k, v in raw.get("norm_stats", raw).items()}
