@@ -312,6 +312,13 @@ class LAP(nn.Module):
             u_t=u_t,
         )
 
+    def _embed_prefix_for_loss(self, observation, suffix_inputs):
+        """Hook: prefix embedding for compute_loss; subclasses may attach
+        extra backbone kwargs (e.g. Gemma3's image_mask)."""
+        del suffix_inputs
+        tokens, mask, ar_mask = self.embed_prefix(observation)
+        return tokens, mask, ar_mask, {}
+
     # ------------------------------------------------------------------
     # Masks / positions
     # ------------------------------------------------------------------
@@ -454,7 +461,9 @@ class LAP(nn.Module):
             if cfg.enable_action_training
             else None
         )
-        prefix_tokens, prefix_mask, prefix_ar_mask = self.embed_prefix(observation)
+        prefix_tokens, prefix_mask, prefix_ar_mask, forward_kwargs = (
+            self._embed_prefix_for_loss(observation, suffix)
+        )
         prefix_mask_action = (
             self._build_prefix_action_mask(prefix_mask, observation)
             if cfg.enable_action_training
@@ -476,6 +485,7 @@ class LAP(nn.Module):
             positions,
             combined_mask,
             adarms_cond=[None, suffix["adarms_cond"]] if suffix else [None],
+            **forward_kwargs,
         )
 
         metrics = {}
