@@ -1,0 +1,110 @@
+"""Offline checkpoint evaluation.
+
+Capability parity with lihzha/lap ``scripts/eval.py``: restore each
+checkpoint (optionally its EMA params), run teacher-forced validation loss
+and action-prediction loss (sample actions, L2 vs ground truth) over the
+validation split, and log aggregate scalars.
+
+Usage:
+    python scripts/eval.py <config-name> --exp_name my_run [--field value...]
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lap_tpu.parallel import data_sharding, make_mesh, pick_fsdp_devices, set_mesh
+from lap_tpu.training import checkpoints as _checkpoints
+from lap_tpu.training import config as _config
+from lap_tpu.training.metrics_logging import MetricsLogger, reduce_metrics
+
+logger = logging.getLogger("lap_tpu.eval")
+
+
+def make_evaluators(model):
+    def val_loss(params, rng, batch):
+        obs, actions = batch
+        loss, metrics = model.apply(
+            {"params": params}, rng, obs, actions, train=False, method=model.compute_loss
+        )
+        return {"val_loss": loss, **metrics}
+
+    def action_prediction_loss(params, rng, batch):
+        obs, actions = batch
+        sampled = model.apply(
+            {"params": params}, rng, obs, num_steps=10, method=model.sample_actions
+        )
+        l2 = jnp.sqrt(jnp.sum((sampled - actions) ** 2, axis=-1)).mean()
+        return {"action_prediction_l2": l2}
+
+    return jax.jit(val_loss), jax.jit(action_prediction_loss)
+
+
+def evaluate_checkpoint(config, model, ckpt_mgr, step: int, loader, *, num_batches):
+    from lap_tpu.training.checkpoints import restore_params
+
+    params_dir = ckpt_mgr.directory / str(step) / "params"
+    params = restore_params(params_dir)
+    val_fn, pred_fn = make_evaluators(model)
+    rng = jax.random.PRNGKey(config.seed)
+
+    all_metrics: list[dict] = []
+    it = iter(loader)
+    for i in range(num_batches or 10**9):
+        try:
+            batch = next(it)
+        except StopIteration:
+            break
+        rng, step_rng = jax.random.split(rng)
+        m = dict(val_fn(params, step_rng, batch))
+        if config.model.enable_action_training:
+            m.update(pred_fn(params, step_rng, batch))
+        all_metrics.append(reduce_metrics(jax.device_get(m)))
+    if not all_metrics:
+        return {}
+    keys = all_metrics[0].keys()
+    return {k: float(np.mean([m[k] for m in all_metrics if k in m])) for k in keys}
+
+
+def main(config: _config.TrainConfig) -> None:
+    logging.basicConfig(level=logging.INFO, force=True)
+    mesh = make_mesh(fsdp_devices=pick_fsdp_devices(config.fsdp_devices))
+    ckpt_mgr = _checkpoints.CheckpointManager(
+        config.checkpoint_dir, keep_period=config.keep_period
+    )
+    steps = ckpt_mgr.all_steps()
+    if config.eval_checkpoint_step is not None:
+        steps = [config.eval_checkpoint_step]
+    elif config.eval_checkpoint_steps:
+        steps = list(config.eval_checkpoint_steps)
+    elif not config.eval_all_checkpoints and steps:
+        steps = [steps[-1]]
+    if config.eval_start_from_step is not None:
+        steps = [s for s in steps if s >= config.eval_start_from_step]
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints found under {config.checkpoint_dir}")
+
+    model = config.model.create_module()
+    from lap_tpu.data.loader import create_data_loader
+
+    loader = create_data_loader(config, mesh, split=config.eval_split)
+    metrics_logger = MetricsLogger(
+        log_dir=config.checkpoint_dir, wandb_enabled=config.wandb_enabled,
+        project=config.project_name, exp_name=f"{config.exp_name}-eval",
+    )
+    with set_mesh(mesh):
+        for step in steps:
+            scalars = evaluate_checkpoint(
+                config, model, ckpt_mgr, step, loader, num_batches=config.num_eval_batches
+            )
+            logger.info("checkpoint %d: %s", step, scalars)
+            metrics_logger.log(step, scalars, prefix="eval")
+    metrics_logger.close()
+
+
+if __name__ == "__main__":
+    main(_config.cli())

