@@ -153,6 +153,23 @@ class SentencePieceProcessor:
             if p.type == BYTE:
                 # pieces look like "<0x0A>"
                 self._byte_ids[int(p.piece[1:-1], 16)] = i
+        # Optional C++ Viterbi hot loop (csrc/lap_native.cpp).
+        self._native = None
+        if self._model_type != 2 and not self._byte_fallback:
+            try:
+                from lap_tpu import native as _native_mod
+                import numpy as _np
+
+                self._native = _native_mod.NativeUnigramVocab(
+                    [p.piece for p in pieces],
+                    _np.array([p.score for p in pieces], _np.float32),
+                    _np.array(
+                        [p.type in (NORMAL, USER_DEFINED) for p in pieces], _np.uint8
+                    ),
+                    self._unk_id,
+                )
+            except Exception:  # noqa: BLE001 - fall back to Python
+                self._native = None
 
     # -- info ---------------------------------------------------------------
     def vocab_size(self) -> int:
@@ -187,6 +204,8 @@ class SentencePieceProcessor:
         norm = self._normalize(text)
         if self._model_type == 2:
             ids = self._encode_bpe(norm)
+        elif self._native is not None:
+            ids = self._native.encode(norm)
         else:
             ids = self._encode_unigram(norm)
         if add_bos:

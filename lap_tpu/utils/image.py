@@ -18,12 +18,21 @@ def convert_to_uint8(img: np.ndarray) -> np.ndarray:
 
 
 def resize_with_pad_np(images: np.ndarray, height: int, width: int) -> np.ndarray:
-    """Aspect-preserving resize + center zero-pad, batched or single."""
-    import cv2
+    """Aspect-preserving resize + center zero-pad, batched or single.
 
+    Dispatches to the C++ op (csrc/lap_native.cpp) for uint8 inputs; falls
+    back to cv2 otherwise."""
     images = np.asarray(images)
     if images.shape[-3:-1] == (height, width):
         return images
+    if images.dtype == np.uint8 and images.ndim in (3, 4):
+        from lap_tpu import native
+
+        out = native.resize_with_pad_u8(images, height, width)
+        if out is not None:
+            return out
+    import cv2
+
     single = images.ndim == 3
     if single:
         images = images[None]
