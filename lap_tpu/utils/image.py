@@ -25,13 +25,16 @@ def resize_with_pad_np(images: np.ndarray, height: int, width: int) -> np.ndarra
     images = np.asarray(images)
     if images.shape[-3:-1] == (height, width):
         return images
-    if images.dtype == np.uint8 and images.ndim in (3, 4):
-        from lap_tpu import native
+    try:
+        import cv2  # SIMD resize: fastest path when available
+    except ImportError:
+        if images.dtype == np.uint8 and images.ndim in (3, 4):
+            from lap_tpu import native
 
-        out = native.resize_with_pad_u8(images, height, width)
-        if out is not None:
-            return out
-    import cv2
+            out = native.resize_with_pad_u8(images, height, width)
+            if out is not None:
+                return out
+        raise
 
     single = images.ndim == 3
     if single:
