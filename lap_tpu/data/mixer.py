@@ -140,11 +140,15 @@ def _stats_cache_path(train_config, mixture_name: str) -> Path:
 
 
 def compute_mixture_norm_stats(train_config, members, *, max_episodes_per_dataset=2_000):
-    """Global stats over all robot datasets in the mix (state + actions),
-    one pass per dataset, cached as JSON (reference dataset_mixer.py:170-227)."""
+    """Global stats over all ROBOT datasets in the mix (state + actions),
+    one pass per dataset, cached as JSON (reference dataset_mixer.py:170-227).
+    VQA members have no actions and are excluded."""
+    from lap_tpu.data.vqa import VQA_DATASET_CLASSES
 
     trackers: dict[str, _norm_stats.RunningStats] = {}
     for name, _weight in members:
+        if name in VQA_DATASET_CLASSES:
+            continue
         ds_cfg = get_dataset_config(name)
         reader = RLDSReader(train_config.data.rlds_data_dir, name, ds_cfg.tfds_version)
         pipe = _pipeline_for(train_config, ds_cfg, split="train")
@@ -189,9 +193,28 @@ def build_rlds_dataset(train_config, *, split: str = "train"):
         if jax.process_index() == 0:
             _norm_stats.save_norm_stats(cache, stats)
 
+    from lap_tpu.data.vqa import VQA_DATASET_CLASSES, build_vqa_dataset
+
     datasets, weights = [], []
     per_ds_buffer = max(data_cfg.shuffle_buffer_size // max(len(members), 1), 1)
     for i, (name, weight) in enumerate(members):
+        if name in VQA_DATASET_CLASSES:
+            datasets.append(
+                build_vqa_dataset(
+                    name,
+                    data_dir=data_cfg.rlds_data_dir,
+                    resize_resolution=data_cfg.resize_resolution,
+                    action_dim=train_config.model.action_dim,
+                    action_horizon=train_config.model.action_horizon,
+                    seed=train_config.seed + i,
+                    split=split,
+                    val_fraction=data_cfg.val_fraction or 0.0,
+                    direction_prob=data_cfg.direction_prob,
+                    repeat=split == "train",
+                )
+            )
+            weights.append(weight)
+            continue
         ds_cfg = get_dataset_config(name)
         reader = RLDSReader(data_cfg.rlds_data_dir, name, ds_cfg.tfds_version)
         pipe = _pipeline_for(train_config, ds_cfg, split=split)
