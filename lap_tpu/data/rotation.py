@@ -153,3 +153,31 @@ def gather_with_padding(
     if not last_value_padding:
         out = np.where(valid[..., None], out, 0.0)
     return out
+
+
+# Per-dataset coordinate-frame corrections (reference rotation_utils.py:382-444):
+# x' = C @ x for translations, R' = C @ R @ C^T for rotations.
+TRANSFORM_BCZ = np.array([[0.0, -1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, -1.0]])
+TRANSFORM_DOBBE = np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+TRANSFORM_JACO = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+
+
+def apply_coordinate_transform(movement: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Rotate [..., 6] (xyz + extrinsic-XYZ rpy) into another frame."""
+    movement = np.asarray(movement, dtype=np.float64)
+    xyz = movement[..., :3] @ c.T
+    rot = euler_to_matrix(movement[..., 3:6])
+    rot_new = np.einsum("ij,...jk,lk->...il", c, rot, c)
+    return np.concatenate([xyz, matrix_to_euler(rot_new)], axis=-1)
+
+
+def coordinate_transform_bcz(movement: np.ndarray) -> np.ndarray:
+    return apply_coordinate_transform(movement, TRANSFORM_BCZ)
+
+
+def coordinate_transform_dobbe(movement: np.ndarray) -> np.ndarray:
+    return apply_coordinate_transform(movement, TRANSFORM_DOBBE)
+
+
+def coordinate_transform_jaco(movement: np.ndarray) -> np.ndarray:
+    return apply_coordinate_transform(movement, TRANSFORM_JACO)
