@@ -25,6 +25,21 @@ logger = logging.getLogger(__name__)
 # the reference's min_size_mbytes=4).
 DEFAULT_MIN_SIZE_BYTES = 4 * 1024 * 1024
 
+# Tensor-parallel placement rules for the LAP/Gemma parameter tree: regex on
+# the flattened path -> weight dim to shard over the tp axis. Head-count dims
+# for attention projections, hidden dims for MLPs, vocab for the embedding.
+# GSPMD propagates matching activation shardings and inserts the collectives.
+# The reference has no TP (SURVEY.md §2.6); this is the rebuild's addition.
+DEFAULT_TP_RULES: tuple[tuple[str, object], ...] = (
+    # Attention projections: the heads dim sits at -3 in every layout
+    # ([.., N, D, H], [.., {2,3}, K, D, H], [.., N, H, D]).
+    (r".*attn.*(qkv_einsum|q_einsum|kv_einsum|attn_vec_einsum).*/w$", -3),
+    # MLPs: shard the hidden dim, which is the largest in both the Gemma2
+    # ([2, D, F]) and Gemma3 ([2, F, D]) gating layouts.
+    (r".*mlp.*(gating_einsum|linear)$", "largest"),
+    (r".*embedder/input_embedding$", 0),  # [V, D] -> vocab
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class FsdpShardingResult:
@@ -35,23 +50,47 @@ class FsdpShardingResult:
     replicated_bytes: int
 
 
-def _leaf_fsdp_spec(shape: tuple[int, ...], dtype, fsdp_size: int, min_bytes: int):
-    """PartitionSpec for one parameter: shard largest divisible dim on fsdp."""
+def _tp_dim(path_str: str, shape: tuple[int, ...], tp_size: int, tp_rules) -> int | None:
+    """Tensor-parallel dim for this param, or None."""
+    if tp_size <= 1 or not shape:
+        return None
+    import re
+
+    for pattern, rule in tp_rules:
+        if not re.search(pattern, path_str):
+            continue
+        if rule == "largest":
+            dim = max(range(len(shape)), key=lambda i: shape[i])
+        else:
+            dim = rule % len(shape)
+        if shape[dim] % tp_size == 0 and shape[dim] >= tp_size:
+            return dim
+    return None
+
+
+def _leaf_fsdp_spec(
+    shape: tuple[int, ...], dtype, fsdp_size: int, min_bytes: int, tp_dim: int | None, tp_size: int
+):
+    """PartitionSpec: tp dim from rules, then largest divisible dim on fsdp."""
+    spec = [None] * len(shape)
+    if tp_dim is not None:
+        spec[tp_dim] = mesh_lib.TP_AXIS
     if fsdp_size <= 1 or not shape:
-        return PartitionSpec()
+        return PartitionSpec(*spec)
     size = int(np.prod(shape)) * np.dtype(dtype).itemsize
     if size < min_bytes:
-        return PartitionSpec()
+        return PartitionSpec(*spec)
     # Prefer the largest dim; ties broken toward the trailing dim, which for
     # stacked scan layers avoids sharding the layer-stacking axis when an
     # equally large in-feature/out-feature dim exists.
     order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
     for dim in order:
+        if dim == tp_dim:
+            continue
         if shape[dim] % fsdp_size == 0 and shape[dim] >= fsdp_size:
-            spec = [None] * len(shape)
             spec[dim] = mesh_lib.FSDP_AXIS
             return PartitionSpec(*spec)
-    return PartitionSpec()
+    return PartitionSpec(*spec)
 
 
 def fsdp_sharding(
@@ -59,20 +98,26 @@ def fsdp_sharding(
     mesh: Mesh,
     *,
     min_size_bytes: int = DEFAULT_MIN_SIZE_BYTES,
+    tp_rules=DEFAULT_TP_RULES,
     log: bool = False,
 ):
     """Map a pytree of arrays / ShapeDtypeStructs to NamedShardings.
 
-    Works on ``jax.eval_shape`` output, so the train-state sharding tree is
-    derived before any parameter is materialized.
+    FSDP (largest divisible dim over the fsdp axis, size-thresholded) plus
+    tensor parallelism over the tp axis when the mesh has one. Works on
+    ``jax.eval_shape`` output, so the train-state sharding tree is derived
+    before any parameter is materialized.
     """
     fsdp_size = mesh.shape[mesh_lib.FSDP_AXIS]
+    tp_size = mesh.shape.get(mesh_lib.TP_AXIS, 1)
     stats = {"sharded": 0, "replicated": 0, "sharded_b": 0, "repl_b": 0}
 
     def to_sharding(path, leaf):
         shape = tuple(getattr(leaf, "shape", ()) or ())
         dtype = getattr(leaf, "dtype", np.float32)
-        spec = _leaf_fsdp_spec(shape, dtype, fsdp_size, min_size_bytes)
+        path_str = jax.tree_util.keystr(path).replace("'", "").replace("][", "/").strip("[]")
+        tp_dim = _tp_dim(path_str, shape, tp_size, tp_rules)
+        spec = _leaf_fsdp_spec(shape, dtype, fsdp_size, min_size_bytes, tp_dim, tp_size)
         nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize if shape else 0
         if spec != PartitionSpec():
             stats["sharded"] += 1
