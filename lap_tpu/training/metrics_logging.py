@@ -94,3 +94,58 @@ def stack_metrics(metric_list: list[dict]) -> dict:
         except Exception:  # noqa: BLE001
             continue
     return out
+
+
+class HostBatchCache:
+    """Keep the most recent host-local batch for visualization
+    (reference metrics_logging.py:30-47)."""
+
+    def __init__(self):
+        self._batch = None
+
+    def update(self, batch):
+        import jax
+
+        from lap_tpu.training.array_utils import to_local_array
+
+        self._batch = None if batch is None else jax.tree.map(to_local_array, batch)
+
+    def get(self):
+        return self._batch
+
+
+class DatasetLogTracker:
+    """Round-robin selection of per-dataset samples to log
+    (reference metrics_logging.py:50-121)."""
+
+    def __init__(self, datasets: list[str], samples_per_dataset: int = 2):
+        self.datasets = list(datasets)
+        self.samples_per_dataset = samples_per_dataset
+        self._cursor = 0
+
+    def next_datasets(self, k: int = 1) -> list[str]:
+        if not self.datasets:
+            return []
+        out = []
+        for _ in range(k):
+            out.append(self.datasets[self._cursor % len(self.datasets)])
+            self._cursor += 1
+        return out
+
+    def select_samples(self, dataset_names: list[str], target: str) -> list[int]:
+        """Indices of batch entries from `target`, capped per dataset."""
+        return [i for i, n in enumerate(dataset_names) if n == target][
+            : self.samples_per_dataset
+        ]
+
+
+def log_mem(prefix: str = "") -> dict:
+    """Host RAM probe (reference metrics_logging.py:124-128)."""
+    try:
+        import resource
+
+        rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    except Exception:  # noqa: BLE001
+        rss_gb = float("nan")
+    logger.info("%shost RSS: %.2f GB", f"{prefix} " if prefix else "", rss_gb)
+    return {"host_rss_gb": rss_gb}

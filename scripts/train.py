@@ -152,14 +152,44 @@ def main(config: _config.TrainConfig) -> None:
         config=dataclasses.asdict(config),
     )
 
+    val_iter = None
+    val_step = None
+    if config.use_validation:
+        from lap_tpu.data.loader import create_data_loader
+
+        val_loader = create_data_loader(config, mesh, split="val")
+        val_iter = iter(val_loader)
+        val_step = jax.jit(
+            steps.val_step,
+            in_shardings=(replicated(mesh), state_sharding, data_sharding(mesh)),
+            out_shardings=replicated(mesh),
+        )
+
+    import os
+
+    trace_dir = os.environ.get("LAP_TPU_TRACE_DIR")
+
     rng = jax.random.PRNGKey(config.seed)
     start_step = int(state.step)
     with set_mesh(mesh):
         for step in range(start_step, config.num_train_steps):
+            if trace_dir and step == start_step + 3:
+                jax.profiler.start_trace(trace_dir)
             batch = next(data_iter)
             state, metrics = train_step(rng, state, batch)
+            if trace_dir and step == start_step + 5:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                logger.info("wrote profiler trace to %s", trace_dir)
             if (step + 1) % config.log_interval == 0 or step == start_step:
                 metrics_logger.log(step + 1, jax.device_get(metrics))
+            if val_iter is not None and (step + 1) % config.val_interval == 0:
+                try:
+                    val_batch = next(val_iter)
+                    val_metrics = val_step(rng, state, val_batch)
+                    metrics_logger.log(step + 1, jax.device_get(val_metrics), prefix="val")
+                except StopIteration:
+                    val_iter = iter(val_loader)
             if (step + 1) % config.save_interval == 0 or step + 1 == config.num_train_steps:
                 assets = _collect_assets(config, loader)
                 ckpt_mgr.save(step + 1, state, assets=assets)
