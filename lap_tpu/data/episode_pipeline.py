@@ -242,7 +242,10 @@ class EpisodePipeline:
         t = traj["actions"].shape[0]
         obs = traj["observation"]
         prompt_list = traj.get("language_instruction")
+        keep_mask = traj.get("frame_keep_mask")
         for i in range(t):
+            if keep_mask is not None and not keep_mask[i]:
+                continue
             sample = {
                 "observation": {"state": obs["state"][i]},
                 "actions": traj["actions"][i],

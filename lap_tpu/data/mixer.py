@@ -126,9 +126,19 @@ def _pipeline_for(train_config, ds_cfg, *, split: str) -> EpisodePipeline:
         needs_wrist_rotation=ds_cfg.needs_wrist_rotation,
         not_rotate_wrist_prob=data_cfg.not_rotate_wrist_prob,
     )
+    standardize_fn = ds_cfg.standardize_fn
+    frame_filter = None
+    if "droid" in ds_cfg.name:
+        from lap_tpu.data.droid import droid_frame_filter, make_droid_standardize_fn
+
+        standardize_fn = make_droid_standardize_fn(
+            data_cfg.rlds_data_dir, seed=train_config.seed
+        )
+        frame_filter = droid_frame_filter
     return EpisodePipeline(
         pc,
-        standardize_fn=ds_cfg.standardize_fn,
+        standardize_fn=standardize_fn,
+        frame_filter=frame_filter,
         dataset_name=ds_cfg.name,
         is_bimanual=ds_cfg.is_bimanual,
         is_navigation=ds_cfg.is_navigation,
