@@ -105,10 +105,24 @@ def main(config: _config.TrainConfig) -> None:
     )
 
     model = config.model.create_module()
+    freeze_mask = None
+    from lap_tpu.models.lap_model import get_freeze_filter, get_vlm_freeze_filter
+
+    predicate = get_vlm_freeze_filter(config.model) if config.freeze_vlm else get_freeze_filter(config.model)
+    if predicate is not None:
+        def _params_shape():
+            m = config.model.create_module()
+            return jax.eval_shape(
+                lambda: m.init(jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=m.init_params_fn)
+            )["params"]
+
+        freeze_mask = freeze_mask_from_filter(_params_shape(), predicate)
+        n_frozen = sum(jax.tree.leaves(freeze_mask))
+        logger.info("freezing %d parameter tensors", n_frozen)
     tx = create_optimizer(
         config.optimizer,
         config.lr_schedule,
-        freeze_mask=None,  # built after init when freeze filters apply
+        freeze_mask=freeze_mask,
     )
 
     ema_schedule = None
@@ -135,6 +149,13 @@ def main(config: _config.TrainConfig) -> None:
         logger.info("resumed from step %d", int(state.step))
 
     loader = create_loader(config, mesh)
+    if resuming:
+        saved = ckpt_mgr.load_assets(
+            int(state.step), f"dataloader_process_{jax.process_index()}/dataloader_state.json"
+        ) or ckpt_mgr.load_assets(int(state.step), "dataloader_process_0/dataloader_state.json")
+        if saved and hasattr(loader, "load_state_dict"):
+            loader.load_state_dict(saved)
+            logger.info("restored dataloader state: %s", saved)
     data_iter = iter(loader)
 
     train_step = jax.jit(
