@@ -68,6 +68,12 @@ def _tp_dim(path_str: str, shape: tuple[int, ...], tp_size: int, tp_rules) -> in
     return None
 
 
+def _spec(parts: list) -> PartitionSpec:
+    while parts and parts[-1] is None:
+        parts = parts[:-1]
+    return PartitionSpec(*parts)
+
+
 def _leaf_fsdp_spec(
     shape: tuple[int, ...], dtype, fsdp_size: int, min_bytes: int, tp_dim: int | None, tp_size: int
 ):
@@ -76,10 +82,10 @@ def _leaf_fsdp_spec(
     if tp_dim is not None:
         spec[tp_dim] = mesh_lib.TP_AXIS
     if fsdp_size <= 1 or not shape:
-        return PartitionSpec(*spec)
+        return _spec(spec)
     size = int(np.prod(shape)) * np.dtype(dtype).itemsize
     if size < min_bytes:
-        return PartitionSpec(*spec)
+        return _spec(spec)
     # Prefer the largest dim; ties broken toward the trailing dim, which for
     # stacked scan layers avoids sharding the layer-stacking axis when an
     # equally large in-feature/out-feature dim exists.
@@ -89,8 +95,8 @@ def _leaf_fsdp_spec(
             continue
         if shape[dim] % fsdp_size == 0 and shape[dim] >= fsdp_size:
             spec[dim] = mesh_lib.FSDP_AXIS
-            return PartitionSpec(*spec)
-    return PartitionSpec(*spec)
+            return _spec(spec)
+    return _spec(spec)
 
 
 def fsdp_sharding(

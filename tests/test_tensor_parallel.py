@@ -38,7 +38,7 @@ def test_tp_rules_place_heads_and_mlp():
     mlp_key = next(k for k in flat if "gating_einsum" in k and "llm" in k)
     assert "tp" in str(flat[mlp_key].spec)
     emb_key = next(k for k in flat if "input_embedding" in k)
-    assert flat[emb_key].spec == PartitionSpec("tp", None)
+    assert flat[emb_key].spec == PartitionSpec("tp")
 
 
 def test_tp_train_step_runs_and_matches_replicated():
