@@ -192,11 +192,20 @@ def main(config: _config.TrainConfig) -> None:
 
     rng = jax.random.PRNGKey(config.seed)
     start_step = int(state.step)
+    first_batch_visualized = False
     with set_mesh(mesh):
         for step in range(start_step, config.num_train_steps):
             if trace_dir and step == start_step + 3:
                 jax.profiler.start_trace(trace_dir)
             batch = next(data_iter)
+            if not first_batch_visualized and jax.process_index() == 0:
+                first_batch_visualized = True
+                try:
+                    from lap_tpu.training.batch_visualization import vis_batch
+
+                    vis_batch(batch[0], out_dir=config.checkpoint_dir / "viz", step=step)
+                except Exception as e:  # noqa: BLE001 - viz is best-effort
+                    logger.info("batch visualization skipped: %s", e)
             state, metrics = train_step(rng, state, batch)
             if trace_dir and step == start_step + 5:
                 jax.block_until_ready(metrics["loss"])
