@@ -24,7 +24,8 @@ except ImportError:  # wandb is optional
 
 class MetricsLogger:
     def __init__(self, *, log_dir: str | Path | None = None, wandb_enabled: bool = False,
-                 project: str = "lap_tpu", exp_name: str = "default", config: dict | None = None):
+                 project: str = "lap_tpu", exp_name: str = "default", config: dict | None = None,
+                 resume: bool = True, rewind_to_step: int | None = None):
         self._jsonl = None
         if log_dir is not None:
             path = Path(log_dir)
@@ -32,7 +33,19 @@ class MetricsLogger:
             self._jsonl = (path / "metrics.jsonl").open("a")
         self._wandb = None
         if wandb_enabled and _wandb is not None:
-            self._wandb = _wandb.init(project=project, name=exp_name, config=config or {})
+            # Run-id persistence for preemption-safe resume + optional rewind
+            # (reference train.py:88-97).
+            kwargs = dict(project=project, name=exp_name, config=config or {})
+            run_id_file = Path(log_dir) / "wandb_run_id.txt" if log_dir else None
+            if resume and run_id_file is not None and run_id_file.exists():
+                kwargs["id"] = run_id_file.read_text().strip()
+                kwargs["resume"] = "allow"
+                if rewind_to_step is not None:
+                    kwargs["resume"] = None
+                    kwargs["resume_from"] = f"{kwargs['id']}?_step={rewind_to_step}"
+            self._wandb = _wandb.init(**kwargs)
+            if run_id_file is not None:
+                run_id_file.write_text(self._wandb.id)
         self._t_last = time.monotonic()
         self._last_step = 0
 
