@@ -118,6 +118,12 @@ class TransformedDataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 7919 + epoch)
             rng.shuffle(idx)
+        # Multi-host: the shuffle is seed-identical on every process, so a
+        # strided slice gives each process a disjoint part of the same global
+        # permutation (iterable datasets shard at the RLDS reader instead).
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            idx = idx[jax.process_index()::n_proc]
         return idx
 
     def __iter__(self) -> Iterator:
@@ -127,10 +133,17 @@ class TransformedDataLoader:
         indexable = hasattr(self.dataset, "__getitem__")
 
         def producer_indexable():
-            epoch = self._batches_seen * self.batch_size // max(len(self.dataset), 1)
+            # Exact resume: fast-forward to the epoch AND the within-epoch
+            # batch offset implied by batches_seen. _sample_indices is a pure
+            # function of (seed, epoch), so this reproduces the uninterrupted
+            # stream position (reference data_loader.py skip-n semantics).
+            batches_per_epoch = max(len(self._sample_indices(0)) // self.batch_size, 1)
+            epoch, offset_batches = divmod(self._batches_seen, batches_per_epoch)
             while not stop.is_set():
                 indices = self._sample_indices(epoch)
-                for start in range(0, len(indices) - self.batch_size + 1, self.batch_size):
+                start0 = offset_batches * self.batch_size
+                offset_batches = 0
+                for start in range(start0, len(indices) - self.batch_size + 1, self.batch_size):
                     if stop.is_set():
                         return
                     batch_idx = indices[start : start + self.batch_size]
@@ -139,8 +152,25 @@ class TransformedDataLoader:
                 epoch += 1
 
         def producer_iterable():
+            it = iter(self.dataset)
+            # Exact resume for iterable (RLDS) datasets: the mixture stream is
+            # a pure function of its seeds, so discarding the raw samples that
+            # formed the first batches_seen batches reproduces the stream
+            # position. Raw samples are skipped WITHOUT running the transform
+            # tail (cheap; matches reference dataset.skip(n) semantics).
+            skip = self._batches_seen * self.batch_size
+            if skip:
+                logger.info("dataloader resume: skipping %d raw samples", skip)
+                for _ in range(skip):
+                    if stop.is_set():
+                        return
+                    try:
+                        next(it)
+                    except StopIteration:
+                        out_q.put(None)
+                        return
             samples = []
-            for raw in self.dataset:
+            for raw in it:
                 if stop.is_set():
                     return
                 samples.append(self._transform(raw))
@@ -169,9 +199,25 @@ class TransformedDataLoader:
         actions = batch.pop("actions", None)
         obs = CoTObservation.from_dict(batch)
         pair = (obs, actions)
-        if self.mesh is not None:
-            pair = jax.device_put(pair, data_sharding(self.mesh))
-        return pair
+        if self.mesh is None:
+            return pair
+        sharding = data_sharding(self.mesh)
+        if jax.process_count() == 1:
+            return jax.device_put(pair, sharding)
+        # Pod-correct path: every process feeds only ITS slice of the global
+        # batch (the RLDS readers are process-sharded); the global array is
+        # assembled from per-process local data without any cross-host copy
+        # (reference data_loader.py:36,235-246).
+        n_proc = jax.process_count()
+
+        def put(x):
+            if x is None:
+                return None
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * n_proc, *x.shape[1:])
+            return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+        return jax.tree.map(put, pair)
 
 
 _BATCH_KEYS = (
@@ -230,10 +276,18 @@ def create_data_loader(train_config, mesh=None, *, split: str = "train"):
     transforms.extend(data_cfg.model_transforms(model_cfg, include_outputs=False).inputs)
     transforms.append(_keep_batch_fields)
 
+    # Each process loads only its slice of the global batch; the loader
+    # reassembles the global array from per-process local data.
+    n_proc = jax.process_count()
+    if train_config.batch_size % n_proc != 0:
+        raise ValueError(
+            f"batch_size {train_config.batch_size} not divisible by "
+            f"process_count {n_proc}"
+        )
     loader = TransformedDataLoader(
         dataset=dataset,
         transforms=transforms,
-        batch_size=train_config.batch_size,
+        batch_size=train_config.batch_size // n_proc,
         mesh=mesh,
         seed=train_config.seed,
         shuffle=split == "train",

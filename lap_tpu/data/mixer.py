@@ -54,12 +54,23 @@ class RLDSFrameDataset:
     def episodes(self):
         epoch = 0
         while True:
+            n_yielded = 0
             for episode in self.reader.episodes(
                 self.split,
                 shard_index=self.process_index,
                 num_shards=self.process_count,
             ):
+                n_yielded += 1
                 yield episode
+            if n_yielded == 0:
+                # A silent empty pass + repeat=True would busy-loop forever,
+                # hanging the producer thread (and a multi-host run) with no
+                # error. Surface the misconfiguration instead.
+                raise RuntimeError(
+                    f"RLDS dataset {self.reader.name!r} yielded 0 episodes for "
+                    f"split={self.split!r} shard {self.process_index}/"
+                    f"{self.process_count}; check rlds_data_dir / shard files"
+                )
             epoch += 1
             if not self.repeat:
                 return

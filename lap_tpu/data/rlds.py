@@ -133,6 +133,18 @@ class RLDSReader:
 
     def episodes(self, split: str = "train", *, shard_index: int = 0, num_shards: int = 1):
         files = self.shard_files(split)
+        if num_shards > len(files):
+            # Fewer TFRecord shards than data-parallel processes: sharding at
+            # the file level would leave some processes with ZERO episodes
+            # (hanging their producer threads). Fall back to episode-level
+            # round-robin so every process sees a disjoint, non-empty slice.
+            ep_i = 0
+            for path in files:
+                for raw in tfrecord.read_tfrecords(path):
+                    if ep_i % num_shards == shard_index:
+                        yield self._decode_episode(raw)
+                    ep_i += 1
+            return
         for i, path in enumerate(files):
             if i % num_shards != shard_index:
                 continue

@@ -44,3 +44,30 @@ def sync_global_devices(name: str) -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)
+
+
+def gather_host_json(obj) -> list:
+    """All-gather one small JSON-serializable object per process.
+
+    Returns ``[obj_process_0, ..., obj_process_{N-1}]`` on every process
+    (single-process: ``[obj]``). Used to collect per-host checkpoint assets
+    (e.g. dataloader cursors) so the primary host can persist all of them in
+    one atomic orbax item.
+    """
+    import json as _json
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(_json.dumps(obj).encode("utf-8"), dtype=np.uint8)
+    # Fixed-size buffers are required for the allgather: agree on the max
+    # length first, then pad with zeros (stripped on decode).
+    max_len = int(multihost_utils.process_allgather(np.asarray(len(payload))).max())
+    padded = np.zeros(max_len, dtype=np.uint8)
+    padded[: len(payload)] = payload
+    gathered = multihost_utils.process_allgather(padded)  # (N, max_len)
+    return [
+        _json.loads(bytes(row).rstrip(b"\x00").decode("utf-8"))
+        for row in np.asarray(gathered).reshape(jax.process_count(), max_len)
+    ]

@@ -42,23 +42,38 @@ logger = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class CheckpointManager:
+    """Orbax manager with three items per step plus production robustness:
+
+    - assets (norm stats, per-process dataloader state) ride the same async
+      composite save as the arrays (``ocp.args.JsonSave``), so saves stay
+      fully asynchronous and every step directory is atomic (orbax tmp-dir
+      rename) — a kill mid-save never leaves a half-written latest step.
+    - save retries with exponential backoff, then falls back to a
+      synchronous manager (reference checkpoints.py:163-339 semantics).
+    - cross-host barriers around save/restore (reference :293-294,427-430).
+    """
+
     directory: Path
     keep_period: int | None = None
     max_to_keep: int = 1
     async_save: bool = True
+    save_retries: int = 2
 
     def __post_init__(self):
         self.directory = Path(self.directory).resolve()
+        self._mgr = self._make_mgr(self.async_save)
+
+    def _make_mgr(self, async_save: bool) -> ocp.CheckpointManager:
         options = ocp.CheckpointManagerOptions(
             max_to_keep=self.max_to_keep,
             keep_period=self.keep_period,
             create=True,
-            enable_async_checkpointing=self.async_save,
+            enable_async_checkpointing=async_save,
         )
-        self._mgr = ocp.CheckpointManager(
+        return ocp.CheckpointManager(
             self.directory,
             options=options,
-            item_names=("train_state", "params"),
+            item_names=("train_state", "params", "assets"),
         )
 
     # -- queries ------------------------------------------------------------
@@ -70,24 +85,41 @@ class CheckpointManager:
 
     # -- save ---------------------------------------------------------------
     def save(self, step: int, state: TrainState, *, assets: dict | None = None) -> None:
-        """Save train_state + inference params (+ assets) at ``step``."""
+        """Save train_state + inference params + assets at ``step``."""
+        import time
+
+        from lap_tpu.training.array_utils import sync_global_devices
+
         inference_params = state.ema_params if state.ema_params is not None else state.params
-        self._mgr.save(
-            step,
-            args=ocp.args.Composite(
-                train_state=ocp.args.PyTreeSave(_state_dict(_as_saveable(state))),
-                params=ocp.args.PyTreeSave({"params": inference_params}),
-            ),
+        args = ocp.args.Composite(
+            train_state=ocp.args.PyTreeSave(_state_dict(_as_saveable(state))),
+            params=ocp.args.PyTreeSave({"params": inference_params}),
+            assets=ocp.args.JsonSave(assets or {}),
         )
-        if assets:
-            # Assets are tiny JSON files; write synchronously next to the step.
-            self._mgr.wait_until_finished()
-            assets_dir = self.directory / str(step) / "assets"
-            assets_dir.mkdir(parents=True, exist_ok=True)
-            for rel_path, payload in assets.items():
-                out = assets_dir / rel_path
-                out.parent.mkdir(parents=True, exist_ok=True)
-                out.write_text(json.dumps(payload))
+        sync_global_devices(f"checkpoint_save_start_{step}")
+        delay = 1.0
+        for attempt in range(self.save_retries + 1):
+            try:
+                self._mgr.save(step, args=args, force=attempt > 0)
+                return
+            except Exception as e:  # noqa: BLE001
+                logger.warning(
+                    "checkpoint save at step %d failed (attempt %d/%d): %s",
+                    step, attempt + 1, self.save_retries + 1, e,
+                )
+                try:
+                    self._mgr.wait_until_finished()
+                except Exception:  # noqa: BLE001 - the failed async task itself
+                    pass
+                if attempt == self.save_retries:
+                    break
+                time.sleep(delay)
+                delay *= 2
+        # Last resort: a fresh synchronous manager (async machinery may be
+        # wedged; a blocking save still lands the checkpoint).
+        logger.warning("falling back to synchronous checkpoint save at step %d", step)
+        self._mgr = self._make_mgr(async_save=False)
+        self._mgr.save(step, args=args, force=True)
 
     def wait_until_finished(self):
         self._mgr.wait_until_finished()
@@ -95,6 +127,8 @@ class CheckpointManager:
     # -- restore ------------------------------------------------------------
     def restore(self, step: int | None, state_template: TrainState) -> TrainState:
         """Restore a TrainState; template supplies structure/sharding."""
+        from lap_tpu.training.array_utils import sync_global_devices
+
         if step is None:
             step = self.latest_step()
         if step is None:
@@ -108,11 +142,22 @@ class CheckpointManager:
                 )
             ),
         )["train_state"]
+        sync_global_devices(f"checkpoint_restore_{step}")
         if restored.get("ema_params") == {}:  # saved placeholder for "no EMA"
             restored["ema_params"] = None
         return TrainState(**restored)
 
     def load_assets(self, step: int, rel_path: str) -> Any | None:
+        """Read one asset payload saved at ``step`` (None when absent)."""
+        try:
+            assets = self._mgr.restore(
+                step, args=ocp.args.Composite(assets=ocp.args.JsonRestore())
+            )["assets"]
+            if isinstance(assets, dict) and rel_path in assets:
+                return assets[rel_path]
+        except Exception:  # noqa: BLE001 - checkpoints from older layouts
+            pass
+        # Legacy layout: plain JSON files under {step}/assets/{rel_path}.
         path = self.directory / str(step) / "assets" / rel_path
         if not path.exists():
             return None

@@ -26,6 +26,14 @@ class MetricsLogger:
     def __init__(self, *, log_dir: str | Path | None = None, wandb_enabled: bool = False,
                  project: str = "lap_tpu", exp_name: str = "default", config: dict | None = None,
                  resume: bool = True, rewind_to_step: int | None = None):
+        # Only process 0 writes files / talks to wandb; other hosts would
+        # create duplicate runs and race on the shared run-id/jsonl files
+        # (reference train.py:80-81 disables wandb off-host-0).
+        import jax
+
+        if jax.process_index() != 0:
+            log_dir = None
+            wandb_enabled = False
         self._jsonl = None
         if log_dir is not None:
             path = Path(log_dir)

@@ -87,21 +87,17 @@ def merge_params(loaded: dict, params_shape: dict, *, missing_regex: str = ".*")
     return unflatten(out)
 
 
-def restore_params(path: str | Path, *, dtype=None, sharding=None) -> dict:
+def restore_params(path: str | Path, *, dtype=None) -> dict:
     """Restore an orbax params checkpoint directory (reference layout:
-    ``{step}/params`` holding {'params': tree})."""
-    import orbax.checkpoint as ocp
+    ``{step}/params`` holding {'params': tree}).
 
-    path = Path(path).resolve()
-    with ocp.PyTreeCheckpointer() as ckptr:
-        meta = ckptr.metadata(path)
-        tree = meta.get("params", meta) if isinstance(meta, dict) else meta
-        item = {"params": tree} if "params" in (meta if isinstance(meta, dict) else {}) else meta
-        restored = ckptr.restore(path)
-    params = restored.get("params", restored) if isinstance(restored, dict) else restored
-    if dtype is not None:
-        params = jax.tree.map(lambda x: x.astype(dtype) if hasattr(x, "astype") else x, params)
-    return params
+    Arrays are materialized as host numpy (no sharding requirement), so a
+    checkpoint saved on one topology loads on any other; the caller
+    device_puts onto the target mesh.
+    """
+    from lap_tpu.training.checkpoints import restore_params as _restore_np
+
+    return _restore_np(path, dtype=dtype)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -171,6 +171,11 @@ def main(config: _config.TrainConfig) -> None:
         project=config.project_name,
         exp_name=config.exp_name,
         config=dataclasses.asdict(config),
+        resume=resuming,
+        # Rewind the wandb run to the restored step so a resume from an
+        # older checkpoint does not leave a gap of un-overwritable steps
+        # (reference train.py:88-97).
+        rewind_to_step=int(state.step) if resuming else None,
     )
 
     val_iter = None
@@ -250,9 +255,12 @@ def _collect_assets(config, loader) -> dict:
         }
     state_dict = getattr(loader, "state_dict", lambda: None)()
     if state_dict:
-        assets[
-            f"dataloader_process_{jax.process_index()}/dataloader_state.json"
-        ] = state_dict
+        # Gather every host's dataloader cursor so the (process-0-written)
+        # assets item holds all of them; each process restores its own key.
+        from lap_tpu.training.array_utils import gather_host_json
+
+        for i, st in enumerate(gather_host_json(state_dict)):
+            assets[f"dataloader_process_{i}/dataloader_state.json"] = st
     return assets
 
 

@@ -1,0 +1,88 @@
+"""Worker process for tests/test_multiprocess.py (not a test module).
+
+Run as: python tests/multiprocess_worker.py <proc_id> <n_proc> <port>
+
+Validates the pod data path (reference data_loader.py:36,235-246 semantics):
+every process feeds only its own slice of the global batch, and the global
+array is assembled with ``jax.make_array_from_process_local_data``.
+"""
+
+import sys
+
+proc_id, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+import os  # noqa: E402
+
+import jax  # noqa: E402
+
+# Bootstrap a 2-process x 4-virtual-CPU-device distributed runtime. The config
+# updates (not env vars) are required: sitecustomize may have imported jax
+# already, baking JAX_PLATFORMS at import time.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+os.environ["LAP_TPU_MESH_PLATFORM"] = "cpu"
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=n_proc, process_id=proc_id
+)
+
+import numpy as np  # noqa: E402
+
+from lap_tpu.data.loader import TransformedDataLoader  # noqa: E402
+from lap_tpu.parallel import make_mesh  # noqa: E402
+from lap_tpu.training.array_utils import (  # noqa: E402
+    gather_host_json,
+    global_concat,
+    to_local_array,
+)
+
+assert jax.process_count() == n_proc, jax.process_count()
+assert jax.device_count() == 4 * n_proc, jax.device_count()
+
+
+class Stream:
+    """Deterministic per-process shard (round-robin, like the RLDS reader)."""
+
+    def __iter__(self):
+        i = proc_id
+        while True:
+            yield {
+                "image": {"cam": np.zeros((4, 4, 3), np.uint8)},
+                "image_mask": {"cam": np.True_},
+                "state": np.full(3, float(i), np.float32),
+                "actions": np.zeros((2, 3), np.float32),
+            }
+            i += n_proc
+
+
+mesh = make_mesh(fsdp_devices=2)  # (dp=4, fsdp=2) over 8 global devices
+local_batch = 8 // n_proc
+loader = TransformedDataLoader(
+    dataset=Stream(), transforms=[], batch_size=local_batch, mesh=mesh, shuffle=False
+)
+it = iter(loader)
+obs, actions = next(it)
+it.close()
+
+# Global batch assembled from DISTINCT per-host shards.
+assert obs.state.shape == (8, 3), obs.state.shape
+assert actions.shape == (8, 2, 3), actions.shape
+local = to_local_array(obs.state)
+np.testing.assert_array_equal(
+    local[:, 0], np.arange(proc_id, proc_id + local_batch * n_proc, n_proc, dtype=np.float32)
+)
+full = global_concat(obs.state)
+expect = np.concatenate(
+    [np.arange(p, p + local_batch * n_proc, n_proc) for p in range(n_proc)]
+).astype(np.float32)
+np.testing.assert_array_equal(full[:, 0], expect)
+
+# A sharded computation over the assembled batch runs and reduces correctly.
+total = jax.jit(lambda x: x.sum())(obs.state)
+assert float(total) == float(np.arange(local_batch * n_proc).sum() * 3), float(total)
+
+# Cross-host checkpoint-asset gathering (used by scripts/train.py).
+states = gather_host_json({"batches_seen": 1, "proc": proc_id})
+assert [s["proc"] for s in states] == list(range(n_proc)), states
+
+print(f"MPWORKER_OK {proc_id}", flush=True)
