@@ -26,6 +26,9 @@ class DatasetConfig:
     is_bimanual: bool = False
     is_navigation: bool = False
     is_vqa: bool = False
+    # Proprio flavor for norm-stats grouping (reference helpers.py:40-55):
+    # "pos_euler" (eef pose), "joint", or "none" (no usable proprio).
+    state_encoding: str = "pos_euler"
     control_frequency: float = 5.0
     sampling_weight: float = 1.0
 

@@ -98,6 +98,37 @@ def axis_angle_to_euler(axis_angle: np.ndarray) -> np.ndarray:
     return matrix_to_euler(mat)
 
 
+def zxy_to_xyz(angles: np.ndarray) -> np.ndarray:
+    """Intrinsic Z-X-Y Euler angles (az, ax, ay) -> extrinsic XYZ (rpy)
+    (reference rotation_utils.py:475-501; used by dlr_edan_shared_control)."""
+    from scipy.spatial.transform import Rotation as R
+
+    a = np.asarray(angles, dtype=np.float64)
+    mats = R.from_euler("ZXY", a.reshape(-1, 3)).as_matrix()
+    return matrix_to_euler(mats.reshape(*a.shape[:-1], 3, 3))
+
+
+def axis_angle_to_r6(axis_angle: np.ndarray) -> np.ndarray:
+    """Axis-angle -> first two rotation-matrix rows
+    (reference transforms.py:66-100)."""
+    from scipy.spatial.transform import Rotation as R
+
+    aa = np.asarray(axis_angle, dtype=np.float64)
+    mat = R.from_rotvec(aa.reshape(-1, 3)).as_matrix().reshape(*aa.shape[:-1], 3, 3)
+    return matrix_to_r6(mat)
+
+
+def quat_wxyz_to_r6(quat: np.ndarray) -> np.ndarray:
+    """wxyz quaternion -> first two rotation-matrix rows
+    (reference transforms.py:38-63)."""
+    from scipy.spatial.transform import Rotation as R
+
+    q = np.asarray(quat, dtype=np.float64)
+    xyzw = np.concatenate([q[..., 1:4], q[..., 0:1]], axis=-1)
+    mat = R.from_quat(xyzw.reshape(-1, 4)).as_matrix().reshape(*q.shape[:-1], 3, 3)
+    return matrix_to_r6(mat)
+
+
 def matrix_state_to_xyzrpy(mat: np.ndarray) -> np.ndarray:
     """4x4 (or flattened 16) homogeneous transform -> [xyz, rpy]."""
     mat = np.asarray(mat, dtype=np.float64)

@@ -54,13 +54,16 @@ def _canonical(
     action: np.ndarray,  # [T, 7]
     gripper_action: np.ndarray,  # [T, 1]
     instructions: list[str],
+    language_action: np.ndarray | None = None,  # override (e.g. commanded deltas)
 ) -> dict:
     t = len(action)
     state = np.concatenate([eef_state, gripper_state], axis=-1).astype(np.float32)
-    language_action = np.concatenate(
-        [compute_padded_movement_actions(eef_state), np.clip(gripper_action, 0, 1)],
-        axis=-1,
-    ).astype(np.float32)
+    if language_action is None:
+        language_action = np.concatenate(
+            [compute_padded_movement_actions(eef_state), np.clip(gripper_action, 0, 1)],
+            axis=-1,
+        )
+    language_action = np.asarray(language_action, np.float32)
     if wrist_imgs is None:
         wrist_imgs = [b""] * t
     return {
@@ -232,11 +235,22 @@ def _get_imgs(obs: dict, primary: str, wrist: str | None = None):
     return obs.get(primary), (obs.get(wrist) if wrist else None)
 
 
-def _canonical_delta(*, base_imgs, wrist_imgs, action, instructions, t=None) -> dict:
+def _canonical_delta(
+    *, base_imgs, wrist_imgs, action, instructions, t=None, eef_state=None, gripper_state=None
+) -> dict:
     """Datasets whose actions stay per-step deltas and that carry no
-    language-action supervision (e.g. cable routing, roboturk, toto)."""
+    language-action supervision (e.g. cable routing, roboturk, toto).
+    Proprio is optional: zeros when the raw episode has no usable EEF pose."""
     t = t if t is not None else len(action)
-    state = np.zeros((t, 7), np.float32)
+    if eef_state is None:
+        state = np.zeros((t, 7), np.float32)
+    else:
+        if gripper_state is None:
+            gripper_state = np.zeros((t, 1), np.float32)
+        state = np.concatenate(
+            [np.asarray(eef_state, np.float32), np.asarray(gripper_state, np.float32)],
+            axis=-1,
+        )
     if wrist_imgs is None:
         wrist_imgs = [b""] * t
     return {
@@ -327,7 +341,7 @@ def jaco_play_dataset_transform(episode: dict) -> dict:
     )
 
 
-@register_dataset("berkeley_cable_routing", control_frequency=10.0)
+@register_dataset("berkeley_cable_routing", control_frequency=10.0, state_encoding="none")
 def berkeley_cable_routing_dataset_transform(episode: dict) -> dict:
     steps = _steps(episode)
     obs = steps["observation"]
@@ -346,7 +360,7 @@ def berkeley_cable_routing_dataset_transform(episode: dict) -> dict:
     )
 
 
-@register_dataset("roboturk", control_frequency=10.0)
+@register_dataset("roboturk", control_frequency=10.0, state_encoding="none")
 def roboturk_dataset_transform(episode: dict) -> dict:
     steps = _steps(episode)
     obs = steps["observation"]
@@ -414,7 +428,7 @@ def berkeley_autolab_ur5_dataset_transform(episode: dict) -> dict:
     )
 
 
-@register_dataset("toto", control_frequency=30.0)
+@register_dataset("toto", control_frequency=30.0, state_encoding="none")
 def toto_dataset_transform(episode: dict) -> dict:
     steps = _steps(episode)
     obs = steps["observation"]
@@ -431,7 +445,7 @@ def toto_dataset_transform(episode: dict) -> dict:
     )
 
 
-@register_dataset("language_table", control_frequency=10.0)
+@register_dataset("language_table", control_frequency=10.0, state_encoding="none")
 def language_table_dataset_transform(episode: dict) -> dict:
     steps = _steps(episode)
     obs = steps["observation"]
@@ -641,4 +655,712 @@ def gnm_dataset_transform(episode: dict) -> dict:
         action=np.concatenate([eef, grip], axis=-1),
         gripper_action=grip,
         instructions=_instructions(steps),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OXE long tail (reference transforms.py:275-1658, registry :1662-1766).
+# These carry per-step delta actions and optional proprio; gripper
+# conventions follow the reference (1 = open after standardization).
+# ---------------------------------------------------------------------------
+
+
+@register_dataset("ppgm", exact=False, control_frequency=5.0)
+def ppgm_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:275-285 (ppgm / ppgm_static / ppgm_wrist)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)
+    action = np.concatenate(
+        [action[:, :6], binarize_gripper_actions(action[:, -1])[:, None]], axis=-1
+    )
+    cart = np.asarray(obs["cartesian_position"], np.float32)
+    grip = np.asarray(obs["gripper_position"], np.float32).reshape(len(cart), -1)
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("wrist_image"),
+        action=action, instructions=_instructions(steps),
+        eef_state=cart[:, :6], gripper_state=grip[:, -1:],
+    )
+
+
+@register_dataset("nyu_door_opening", exact=False, control_frequency=3.0, state_encoding="none")
+def nyu_door_opening_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:514-531."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    act = steps["action"]
+    grip = rel2abs_gripper_actions(
+        np.asarray(act["gripper_closedness_action"], np.float32).reshape(-1, 1)[:, 0]
+    )[:, None]
+    action = np.concatenate(
+        [np.asarray(act["world_vector"], np.float32),
+         np.asarray(act["rotation_delta"], np.float32), grip], axis=-1
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("columbia_cairlab_pusht_real", exact=False, control_frequency=10.0, state_encoding="none")
+def pusht_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:659-669."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    act = steps["action"]
+    grip = np.asarray(act["gripper_closedness_action"], np.float32).reshape(-1, 1)
+    action = np.concatenate(
+        [np.asarray(act["world_vector"], np.float32),
+         np.asarray(act["rotation_delta"], np.float32), grip], axis=-1
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("wrist_image"),
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("stanford_kuka_multimodal", exact=False, control_frequency=20.0, state_encoding="none")
+def stanford_kuka_multimodal_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:672-682."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)
+    t = len(action)
+    action = np.concatenate(
+        [action[:, :3], np.zeros((t, 3), np.float32), action[:, -1:]], axis=-1
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("nyu_rot_dataset", exact=False, control_frequency=3.0)
+def nyu_rot_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:685-689."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)[:, :7]
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+        eef_state=state[:, :6], gripper_state=state[:, -1:],
+    )
+
+
+@register_dataset("nyu_franka_play", exact=False, control_frequency=3.0)
+def nyu_franka_play_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:732-754."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    action = np.concatenate(
+        [action[:, -8:-2], np.clip(action[:, -2:-1], 0, 1)], axis=-1
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("image_additional_view"),
+        action=action, instructions=_instructions(steps),
+        eef_state=state[:, -6:],
+    )
+
+
+@register_dataset("maniskill_dataset", exact=False, control_frequency=20.0)
+def maniskill_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:793-795."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("wrist_image"),
+        action=action, instructions=_instructions(steps),
+        eef_state=np.zeros((len(action), 6), np.float32), gripper_state=state[:, 7:8],
+    )
+
+
+@register_dataset("cmu_franka_exploration", exact=False, control_frequency=10.0, state_encoding="none")
+def cmu_franka_exploration_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:827-829 (drop trailing episode-phase dim)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)[..., :-1]
+    return _canonical_delta(
+        base_imgs=obs.get("highres_image", obs.get("image")), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("ucsd_kitchen_dataset", exact=False, control_frequency=2.0, state_encoding="none")
+def ucsd_kitchen_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:832-852."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)[..., :-1]
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("ucsd_pick_and_place_dataset", exact=False, control_frequency=3.0)
+def ucsd_pick_place_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:855-866."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    t = len(action)
+    action = np.concatenate(
+        [action[:, :3], np.zeros((t, 3), np.float32), action[:, -1:]], axis=-1
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+        eef_state=state[:, :6], gripper_state=state[:, -1:],
+    )
+
+
+@register_dataset("utokyo_pr2", exact=False, control_frequency=10.0)
+def utokyo_pr2_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:969-980 (opening_fridge + tabletop share it)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)[..., :-1]
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+        eef_state=state[:, :6], gripper_state=state[:, -1:],
+    )
+
+
+@register_dataset("utokyo_xarm_pick_and_place", exact=False, control_frequency=10.0, state_encoding="none")
+def utokyo_xarm_pick_place_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:983-984 (identity)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("hand_image"),
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("utokyo_xarm_bimanual", exact=False, control_frequency=10.0, state_encoding="none")
+def utokyo_xarm_bimanual_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:987-989 (keep last arm's 7 dims)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)[..., -7:]
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("robo_net", exact=False, control_frequency=1.0)
+def robo_net_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:992-1009 (4-DoF: xyz + yaw)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    t = len(action)
+    eef = np.concatenate([state[:, :4], np.zeros((t, 2), np.float32)], axis=-1)
+    action = np.concatenate(
+        [action[:, :4], np.zeros((t, 2), np.float32), action[:, -1:]], axis=-1
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("image1"),
+        action=action, instructions=_instructions(steps),
+        eef_state=eef, gripper_state=state[:, -1:],
+    )
+
+
+@register_dataset("berkeley_mvp", exact=False, control_frequency=5.0, state_encoding="joint")
+@register_dataset("berkeley_rpt", exact=False, control_frequency=30.0, state_encoding="joint")
+def berkeley_mvp_rpt_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1012-1017 (identity; joint-space actions)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)
+    return _canonical_delta(
+        base_imgs=obs.get("hand_image", obs.get("image")), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("kaist_nonprehensile", exact=False, control_frequency=10.0)
+def kaist_nonprehensile_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1020-1029."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)[:, -7:]
+    action = np.asarray(steps["action"], np.float32)
+    action = np.concatenate(
+        [action[:, :6], np.zeros((len(action), 1), np.float32)], axis=-1
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+        eef_state=state[:, :6], gripper_state=state[:, -1:],
+    )
+
+
+@register_dataset("stanford_mask_vit", exact=False, control_frequency=1.0)
+def stanford_mask_vit_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1032-1049 (4-DoF sawyer)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    pose = np.asarray(obs["end_effector_pose"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    t = len(action)
+    eef = np.concatenate([pose[:, :4], np.zeros((t, 2), np.float32)], axis=-1)
+    action = np.concatenate(
+        [action[:, :4], np.zeros((t, 2), np.float32), action[:, -1:]], axis=-1
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+        eef_state=eef, gripper_state=pose[:, -1:],
+    )
+
+
+@register_dataset("tokyo_u_lsmo", exact=False, control_frequency=10.0)
+def tokyo_lsmo_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1052-1055."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+        eef_state=state[:, :6], gripper_state=state[:, -1:],
+    )
+
+
+@register_dataset("dlr_sara_pour", exact=False, control_frequency=10.0, state_encoding="none")
+def dlr_sara_pour_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1058-1059 (identity)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("dlr_sara_grid_clamp", exact=False, control_frequency=10.0)
+def dlr_sara_grid_clamp_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1062-1064."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)[:, :6]
+    action = np.asarray(steps["action"], np.float32)
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+        eef_state=state,
+    )
+
+
+@register_dataset("dlr_edan_shared_control", exact=False, control_frequency=5.0)
+def dlr_edan_shared_control_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1067-1100 (intrinsic ZXY -> extrinsic XYZ)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    grip = np.clip(invert_gripper_actions(action[:, -1:]), 0, 1)
+    eef = np.concatenate(
+        [state[:, :3], rotation.zxy_to_xyz(state[:, 3:6]).astype(np.float32)], axis=-1
+    )
+    grip_state = invert_gripper_actions(state[:, -1:])
+    return _canonical(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        eef_state=eef, gripper_state=grip_state,
+        action=np.concatenate([eef, grip], axis=-1),
+        gripper_action=grip, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("asu_table_top", exact=False, control_frequency=12.5)
+def asu_table_top_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1103-1106."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    gts = episode.get("ground_truth_states", steps.get("ground_truth_states", {}))
+    eef = np.asarray(gts.get("EE", np.zeros((len(steps["action"]), 6))), np.float32)
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+        eef_state=eef[:, :6], gripper_state=state[:, -1:],
+    )
+
+
+@register_dataset("stanford_robocook", exact=False, control_frequency=5.0)
+def robocook_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1109-1112."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    return _canonical_delta(
+        base_imgs=obs.get("image_1"), wrist_imgs=obs.get("image_2"),
+        action=action, instructions=_instructions(steps),
+        eef_state=state[:, :6], gripper_state=state[:, -1:],
+    )
+
+
+@register_dataset("imperialcollege_sawyer_wrist_cam", exact=False, control_frequency=10.0, state_encoding="none")
+def imperial_wristcam_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1115-1117."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)[..., :-1]
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("wrist_image"),
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("iamlab_cmu_pickup_insert", exact=False, control_frequency=20.0)
+def iamlab_pick_insert_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1120-1133 (quat action -> euler)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    action = np.concatenate(
+        [action[:, :3],
+         rotation.quat_to_euler(action[:, 3:7]).astype(np.float32),
+         action[:, 7:8]],
+        axis=-1,
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("wrist_image"),
+        action=action, instructions=_instructions(steps),
+        eef_state=np.zeros((len(action), 6), np.float32), gripper_state=state[:, 7:8],
+    )
+
+
+@register_dataset("uiuc_d3field", exact=False, control_frequency=1.0, state_encoding="none")
+def uiuc_d3field_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1136-1145 (xyz-only deltas)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)
+    t = len(action)
+    action = np.concatenate([action, np.zeros((t, 4), np.float32)], axis=-1)[:, :7]
+    return _canonical_delta(
+        base_imgs=obs.get("image_1"), wrist_imgs=obs.get("image_2"),
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("berkeley_fanuc_manipulation", exact=False, control_frequency=10.0)
+def berkeley_fanuc_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1209-1242 (gripper action from state; the
+    language action keeps the commanded deltas rather than reached-state
+    movements)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    ee = np.asarray(obs["end_effector_state"], np.float32)
+    raw_action = np.asarray(steps["action"], np.float32)
+    grip = np.clip(invert_gripper_actions(state[:, 6:7]), 0, 1)
+    eef = np.concatenate(
+        [ee[:, :3], rotation.quat_to_euler(ee[:, 3:7]).astype(np.float32)], axis=-1
+    )
+    return _canonical(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("wrist_image"),
+        eef_state=eef, gripper_state=grip,
+        action=np.concatenate([eef, grip], axis=-1),
+        gripper_action=grip, instructions=_instructions(steps),
+        language_action=np.concatenate([raw_action[:, :6], grip], axis=-1),
+    )
+
+
+@register_dataset("cmu_playing_with_food", exact=False, control_frequency=10.0, state_encoding="none")
+def cmu_playing_with_food_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1259-1270 (quat action -> euler)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)
+    action = np.concatenate(
+        [action[:, :3],
+         rotation.quat_to_euler(action[:, 3:7]).astype(np.float32),
+         action[:, -1:]],
+        axis=-1,
+    )
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("finger_vision_1"),
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("cmu_play_fusion", exact=False, control_frequency=5.0, state_encoding="none")
+def playfusion_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1273-1281."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)
+    action = np.concatenate([action[:, :3], action[:, -4:]], axis=-1)
+    return _canonical_delta(
+        base_imgs=obs.get("image"), wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("roboset", exact=False, control_frequency=5.0, state_encoding="joint")
+def roboset_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1397-1419 (8-dim joint actions, inverted
+    gripper in both state and action)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    action = np.asarray(steps["action"], np.float32)
+    grip_action = invert_gripper_actions(np.clip(action[:, -1:], 0, 1))
+    action = np.concatenate([action[:, :7], grip_action], axis=-1)
+    eef = state[:, :6]
+    grip_state = invert_gripper_actions(np.clip(state[:, -1:], 0, 1))
+    return _canonical_delta(
+        base_imgs=obs.get("image_left"), wrist_imgs=obs.get("image_wrist"),
+        action=action, instructions=_instructions(steps),
+        eef_state=eef, gripper_state=grip_state,
+    )
+
+
+@register_dataset("rh20t", exact=False, control_frequency=10.0)
+def rh20t_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1422-1437."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    act = steps["action"]
+    tcp = np.asarray(act["tcp_base"], np.float32)
+    grip = np.asarray(act["gripper"], np.float32).reshape(-1, 1)
+    action = np.concatenate([tcp, grip], axis=-1)
+    tcp_state = np.asarray(obs["tcp_base"], np.float32)
+    width = np.asarray(obs["gripper_width"], np.float32).reshape(-1, 1)
+    return _canonical_delta(
+        base_imgs=obs.get("image_front"), wrist_imgs=obs.get("image_wrist"),
+        action=action, instructions=_instructions(steps),
+        eef_state=tcp_state[:, :6], gripper_state=width,
+    )
+
+
+@register_dataset("tdroid", exact=False, priority=10, control_frequency=15.0)
+def tdroid_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1440-1450 (T-DROID task subsets)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    action = np.asarray(steps["action"], np.float32)
+    action = np.concatenate(
+        [action[:, :6], binarize_gripper_actions(action[:, -1])[:, None]], axis=-1
+    )
+    cart = np.asarray(obs["cartesian_position"], np.float32)
+    grip = np.asarray(obs["gripper_position"], np.float32).reshape(len(cart), -1)
+    return _canonical_delta(
+        base_imgs=obs.get("static_image", obs.get("exterior_image_1_left", obs.get("image"))),
+        wrist_imgs=obs.get("wrist_image", obs.get("wrist_image_left")),
+        action=action, instructions=_instructions(steps),
+        eef_state=cart[:, :6], gripper_state=grip[:, -1:],
+    )
+
+
+@register_dataset("ego4d", exact=False, control_frequency=5.0, state_encoding="none")
+def human_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1484-1512 (human video: no robot actions)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    imgs = obs.get("image", [])
+    t = len(imgs)
+    action = np.zeros((t, 7), np.float32)
+    return _canonical_delta(
+        base_imgs=imgs, wrist_imgs=None,
+        action=action, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("sample_r1_lite", exact=False, is_bimanual=True, control_frequency=15.0)
+def sample_r1_lite_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1515-1538 (bimanual EEF: [L xyzrpy, L grip,
+    R xyzrpy, R grip] -> 14-dim per-step movement actions)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    raw_action = np.asarray(steps["action"], np.float32)
+    left = compute_padded_movement_actions(state[:, :6])
+    right = compute_padded_movement_actions(state[:, 7:13])
+    action = np.concatenate(
+        [left, raw_action[:, 6:7] / 100, right, raw_action[:, 13:14] / 100], axis=-1
+    ).astype(np.float32)
+    t = len(action)
+    base = obs.get("image_camera_head", obs.get("image"))
+    return {
+        "observation": {
+            "base_0_rgb": list(base),
+            "left_wrist_0_rgb": list(obs.get("image_camera_wrist_left", [b""] * t)),
+            "right_wrist_0_rgb": list(obs.get("image_camera_wrist_right", [b""] * t)),
+            "state": state[:, :14].astype(np.float32),
+        },
+        "raw_state": state[:, :14].astype(np.float32).copy(),
+        "action": action,
+        "language_action": action.copy(),
+        "language_instruction": _instructions(steps),
+    }
+
+
+@register_dataset("agibot", exact=False, is_bimanual=True, control_frequency=30.0)
+def agibot_large_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1541-1556 (bimanual; inverted grippers)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    raw_action = np.asarray(steps["action"], np.float32)
+    left = compute_padded_movement_actions(state[:, :6])
+    right = compute_padded_movement_actions(state[:, 7:13])
+    action = np.concatenate(
+        [left, invert_gripper_actions(raw_action[:, 6:7]),
+         right, invert_gripper_actions(raw_action[:, 13:14])], axis=-1
+    ).astype(np.float32)
+    t = len(action)
+    base = obs.get("head_image", obs.get("image"))
+    return {
+        "observation": {
+            "base_0_rgb": list(base),
+            "left_wrist_0_rgb": list(obs.get("image_camera_wrist_left", [b""] * t)),
+            "right_wrist_0_rgb": list(obs.get("image_camera_wrist_right", [b""] * t)),
+            "state": state[:, :14].astype(np.float32),
+        },
+        "raw_state": state[:, :14].astype(np.float32).copy(),
+        "action": action,
+        "language_action": action.copy(),
+        "language_instruction": _instructions(steps),
+    }
+
+
+@register_dataset("molmoact", exact=False, control_frequency=15.0)
+def molmoact_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1184-1206."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    raw_action = np.asarray(steps["action"], np.float32)
+    grip = invert_gripper_actions(raw_action[:, -1:])
+    eef = state[:, :6]
+    grip_state = invert_gripper_actions(state[:, -1:])
+    return _canonical(
+        base_imgs=obs.get("first_view_image", obs.get("image")),
+        wrist_imgs=obs.get("wrist_image"),
+        eef_state=eef, gripper_state=grip_state,
+        action=np.concatenate([eef, grip], axis=-1),
+        gripper_action=grip, instructions=_instructions(steps),
+        language_action=np.concatenate([raw_action[:, :-1], grip], axis=-1),
+    )
+
+
+@register_dataset("planning_dataset", exact=False, control_frequency=5.0)
+def planning_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1559-1582 (r6 rotation encoding in both
+    state (wxyz quat) and action (axis-angle))."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    raw_action = np.asarray(steps["action"], np.float32)
+    state = np.concatenate(
+        [state[:, :6],
+         rotation.quat_wxyz_to_r6(state[:, 6:10]).astype(np.float32),
+         state[:, 10:]],
+        axis=-1,
+    )
+    action = np.concatenate(
+        [raw_action[:, :6],
+         rotation.axis_angle_to_r6(raw_action[:, 6:9]).astype(np.float32),
+         raw_action[:, 9:]],
+        axis=-1,
+    )
+    t = len(action)
+    return {
+        "observation": {
+            "base_0_rgb": list(obs.get("image", [])),
+            "left_wrist_0_rgb": list(obs.get("wrist_image", [b""] * t)),
+            "state": state.astype(np.float32),
+        },
+        "raw_state": state.astype(np.float32).copy(),
+        "action": action.astype(np.float32),
+        "language_instruction": _instructions(steps),
+    }
+
+
+@register_dataset("franka_dataset", control_frequency=15.0)
+@register_dataset("franka_demo_dataset", control_frequency=15.0)
+@register_dataset("franka_towel_demo_dataset", control_frequency=15.0)
+@register_dataset("franka_rollout_dataset", control_frequency=15.0)
+def franka_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1585-1608."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    raw_action = np.asarray(steps["action"], np.float32)
+    eef = state[:, :6]
+    grip_state = invert_gripper_actions(np.clip(state[:, 6:7], 0, 1))
+    grip = invert_gripper_actions(np.clip(raw_action[:, -1:], 0, 1))
+    return _canonical(
+        base_imgs=obs.get("image", obs.get("exterior_image_1_left")),
+        wrist_imgs=obs.get("wrist_image", obs.get("wrist_image_left")),
+        eef_state=eef, gripper_state=grip_state,
+        action=np.concatenate([eef, grip], axis=-1),
+        gripper_action=grip, instructions=_instructions(steps),
+    )
+
+
+@register_dataset("yam_jointpos_dataset", control_frequency=15.0, state_encoding="joint")
+@register_dataset("yam_jointpos_dataset_small", control_frequency=15.0, state_encoding="joint")
+def yam_jointpos_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1611-1633 (joint actions kept; language
+    action from state movement)."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    raw_action = np.asarray(steps["action"], np.float32)
+    movement = compute_padded_movement_actions(state[:, :6])
+    la = np.concatenate([movement, np.clip(raw_action[:, -1:], 0, 1)], axis=-1)
+    t = len(raw_action)
+    return {
+        "observation": {
+            "base_0_rgb": list(obs.get("image", [])),
+            "left_wrist_0_rgb": list(obs.get("wrist_image", [b""] * t)),
+            "state": state.astype(np.float32),
+        },
+        "raw_state": state.astype(np.float32).copy(),
+        "action": raw_action.astype(np.float32),
+        "language_action": la.astype(np.float32),
+        "language_instruction": _instructions(steps),
+    }
+
+
+@register_dataset("yam_dataset", control_frequency=15.0)
+@register_dataset("yam_demo_dataset", control_frequency=15.0)
+@register_dataset("yam_rollout_dataset", control_frequency=15.0)
+def yam_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1636-1658."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    raw_action = np.asarray(steps["action"], np.float32)
+    eef = state[:, :6]
+    grip = np.clip(raw_action[:, -1:], 0, 1)
+    grip_state = np.clip(state[:, 6:7], 0, 1) if state.shape[-1] > 6 else grip
+    return _canonical(
+        base_imgs=obs.get("image"), wrist_imgs=obs.get("wrist_image"),
+        eef_state=eef, gripper_state=grip_state,
+        action=np.concatenate([eef, grip], axis=-1),
+        gripper_action=grip, instructions=_instructions(steps),
     )
