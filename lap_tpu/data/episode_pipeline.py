@@ -107,6 +107,10 @@ class EpisodePipeline:
         is_bimanual: bool = False,
         is_navigation: bool = False,
         normalize_fn: Callable[[dict], dict] | None = None,
+        grounding_table: dict | None = None,
+        grounding_key_fn: Callable[[dict], str | None] | None = None,
+        grounding_prob: float = 0.3,
+        grounding_direction_prob: float = 0.0,
     ):
         self.cfg = config
         self.standardize_fn = standardize_fn
@@ -116,10 +120,25 @@ class EpisodePipeline:
         self.is_bimanual = is_bimanual
         self.is_navigation = is_navigation
         self.normalize_fn = normalize_fn
+        # Robot-frame grounding QA (reference vqa/bbox/table_builder.py):
+        # frames with annotated objects become bbox/direction QA samples
+        # with probability grounding_prob.
+        self.grounding_table = grounding_table
+        self.grounding_key_fn = grounding_key_fn
+        self.grounding_prob = grounding_prob
+        self.grounding_direction_prob = grounding_direction_prob
+        self._grounding_key: str | None = None
 
     # ------------------------------------------------------------------
     def process_episode(self, episode: dict) -> Iterator[dict]:
         """Yield frame dicts for one raw RLDS episode."""
+        # Episode-level grounding key must be read off the RAW episode
+        # (episode_metadata is dropped by standardization).
+        self._grounding_key = (
+            self.grounding_key_fn(episode)
+            if self.grounding_table is not None and self.grounding_key_fn is not None
+            else None
+        )
         traj = self.standardize_fn(episode) if self.standardize_fn else episode
         if traj is None:
             return
@@ -308,22 +327,34 @@ class EpisodePipeline:
         sample["pred_use_primary"] = pred_use_primary
         sample.pop("trajectory_id")
 
-        # Image decode + resize-with-pad + optional wrist 180-deg rotation.
-        from lap_tpu.utils.image import resize_with_pad_np
+        # Robot-frame grounding QA: when this frame has annotated objects,
+        # convert it (with probability) into a bbox/direction QA sample
+        # (reference vqa/bbox/ sampling; key format "{episode_key}--{frame}").
+        if (
+            self.grounding_table is not None
+            and self._grounding_key is not None
+            and not is_pred
+        ):
+            objects = self.grounding_table.get(f"{self._grounding_key}--{frame_idx}")
+            if objects and rng.random() < self.grounding_prob:
+                from lap_tpu.data.grounding import make_grounding_qa
 
-        rotation_applied = False
-        for key in (cfg.primary_image_key, cfg.wrist_image_key):
-            raw = sample["observation"].get(key)
-            if raw is None or not _nonempty(raw):
-                continue
-            img = decode_image(raw)
-            img = resize_with_pad_np(img, *cfg.resize_resolution)
-            if key == cfg.wrist_image_key and cfg.needs_wrist_rotation:
-                if not (cfg.not_rotate_wrist_prob > 0 and rng.random() < cfg.not_rotate_wrist_prob):
-                    img = img[::-1, ::-1]  # 180-degree rotation
-                    rotation_applied = True
-            sample["observation"][key] = np.ascontiguousarray(img)
-        sample["rotation_applied"] = rotation_applied
+                qa = make_grounding_qa(
+                    objects, rng, direction_prob=self.grounding_direction_prob
+                )
+                if qa is not None:
+                    sample["prompt"], sample["caption"] = qa
+                    sample["is_vqa_sample"] = True
+
+        # Image decode is DEFERRED to the loader's thread pool (see
+        # make_image_decoder): frames cross the shuffle buffer as encoded
+        # bytes, ~30x smaller than decoded 224x224 uint8, so million-frame
+        # buffers fit in host RAM. Only the rng-dependent rotation decision
+        # is made here (it must be a pure function of the trajectory seed).
+        sample["_wrist_rotate"] = bool(
+            cfg.needs_wrist_rotation
+            and not (cfg.not_rotate_wrist_prob > 0 and rng.random() < cfg.not_rotate_wrist_prob)
+        )
         sample["has_wrist_image"] = _nonempty(sample["observation"].get(cfg.wrist_image_key))
         return sample
 
@@ -343,3 +374,37 @@ def _nonempty(x) -> bool:
     if isinstance(x, (bytes, str)):
         return len(x) > 0
     return True
+
+
+def make_image_decoder(
+    resize_resolution: tuple[int, int],
+    *,
+    primary_image_key: str = "base_0_rgb",
+    wrist_image_key: str = "left_wrist_0_rgb",
+):
+    """Per-sample transform: decode + resize-with-pad + wrist rotation.
+
+    Runs in the loader's thread pool (after the shuffle buffer), replacing
+    the reference's in-graph tf.image decode (base_dataset.py:610-699).
+    Pass-through for already-decoded arrays (fake/VQA datasets).
+    """
+    from lap_tpu.utils.image import resize_with_pad_np
+
+    def decode(sample: dict) -> dict:
+        rotate = bool(sample.pop("_wrist_rotate", False))
+        applied = False
+        for key in (primary_image_key, wrist_image_key):
+            raw = sample["observation"].get(key)
+            if raw is None or not _nonempty(raw):
+                continue
+            img = decode_image(raw)
+            img = resize_with_pad_np(img, *resize_resolution)
+            if key == wrist_image_key and rotate:
+                img = img[::-1, ::-1]  # 180-degree rotation
+                applied = True
+            sample["observation"][key] = np.ascontiguousarray(img)
+        sample["rotation_applied"] = applied
+        sample["has_wrist_image"] = _nonempty(sample["observation"].get(wrist_image_key))
+        return sample
+
+    return decode

@@ -263,9 +263,13 @@ def create_data_loader(train_config, mesh=None, *, split: str = "train"):
             seed=train_config.seed,
         )
     else:
+        from lap_tpu.data.episode_pipeline import make_image_decoder
         from lap_tpu.data.mixer import build_rlds_dataset
 
         dataset, norm_stats = build_rlds_dataset(train_config, split=split)
+        # Frames cross the shuffle buffer as encoded bytes; decode (+resize,
+        # wrist rotation) here so it runs in the loader's thread pool.
+        transforms.insert(0, make_image_decoder(data_cfg.resize_resolution))
 
     if norm_stats is not None:
         from lap_tpu.policies.model_transforms import Normalize

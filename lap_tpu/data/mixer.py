@@ -52,7 +52,7 @@ class RLDSFrameDataset:
         self.process_count = process_count
 
     def episodes(self):
-        epoch = 0
+        self._epoch = 0
         while True:
             n_yielded = 0
             for episode in self.reader.episodes(
@@ -71,20 +71,26 @@ class RLDSFrameDataset:
                     f"split={self.split!r} shard {self.process_index}/"
                     f"{self.process_count}; check rlds_data_dir / shard files"
                 )
-            epoch += 1
+            self._epoch += 1
             if not self.repeat:
                 return
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed)
         buffer: list = []
+        target = self.shuffle_buffer_size
         for episode in self.episodes():
+            if getattr(self, "_epoch", 0) >= 1 and 0 < len(buffer) < target:
+                # The whole (sharded) dataset fits in the buffer: one full
+                # epoch is already resident, so waiting for more fill would
+                # only append repeats. Cap the target and start yielding.
+                target = len(buffer)
             for frame in self.pipeline.process_episode(episode):
-                if self.shuffle_buffer_size <= 1:
+                if target <= 1:
                     yield frame
                     continue
                 buffer.append(frame)
-                if len(buffer) >= self.shuffle_buffer_size:
+                if len(buffer) >= target:
                     idx = rng.integers(0, len(buffer))
                     buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
                     yield buffer.pop()
@@ -146,6 +152,19 @@ def _pipeline_for(train_config, ds_cfg, *, split: str) -> EpisodePipeline:
             data_cfg.rlds_data_dir, seed=train_config.seed
         )
         frame_filter = droid_frame_filter
+    grounding_table = grounding_key_fn = None
+    if getattr(data_cfg, "bbox_annotations_dir", None):
+        from lap_tpu.data import grounding
+
+        ann_dir = Path(data_cfg.bbox_annotations_dir) / ds_cfg.name
+        if ann_dir.is_dir():
+            grounding_key_fn = grounding.key_extractor_for(ds_cfg.name)
+            grounding_table = grounding.build_frame_objects_table(
+                ann_dir,
+                grounding_key_fn,
+                dataset_name=ds_cfg.name,
+                target_size=tuple(data_cfg.resize_resolution),
+            )
     return EpisodePipeline(
         pc,
         standardize_fn=standardize_fn,
@@ -153,6 +172,10 @@ def _pipeline_for(train_config, ds_cfg, *, split: str) -> EpisodePipeline:
         dataset_name=ds_cfg.name,
         is_bimanual=ds_cfg.is_bimanual,
         is_navigation=ds_cfg.is_navigation,
+        grounding_table=grounding_table,
+        grounding_key_fn=grounding_key_fn,
+        grounding_prob=getattr(data_cfg, "grounding_prob", 0.3),
+        grounding_direction_prob=data_cfg.direction_prob,
     )
 
 
@@ -160,21 +183,42 @@ def _stats_cache_path(train_config, mixture_name: str) -> Path:
     return Path(train_config.data.rlds_data_dir) / "norm_stats_cache" / f"{mixture_name}.json"
 
 
-def compute_mixture_norm_stats(train_config, members, *, max_episodes_per_dataset=2_000):
-    """Global stats over all ROBOT datasets in the mix (state + actions),
-    one pass per dataset, cached as JSON (reference dataset_mixer.py:170-227).
-    VQA members have no actions and are excluded."""
-    from lap_tpu.data.vqa import VQA_DATASET_CLASSES
+def compute_mixture_norm_stats(train_config, members, *, max_episodes_per_dataset=None):
+    """Global stats over all ROBOT datasets in the mix, matching the
+    reference's grouping semantics (statistics.py:17-228):
 
-    trackers: dict[str, _norm_stats.RunningStats] = {}
+    - one FULL pass per dataset (``max_episodes_per_dataset`` optionally
+      caps it, reference default is uncapped), episodes sharded across
+      processes with a cross-host merge (normalize_adapter.py:139-150);
+    - per-dataset stats merged transition-weighted into global 'actions';
+    - 'state' grouped by the dataset's state type (eef vs joint), with the
+      eef group doubling as the model-facing 'state' entry.
+
+    Returns ``(global_stats, per_dataset_transitions)`` — the latter feeds
+    frame-count balance weights (reference dataset_mixer.py:149-155).
+    """
+    import jax
+
+    from lap_tpu.data.vqa import VQA_DATASET_CLASSES
+    from lap_tpu.training.array_utils import gather_host_json
+
+    max_eps = (
+        max_episodes_per_dataset
+        if max_episodes_per_dataset is not None
+        else getattr(train_config.data, "norm_stats_max_episodes", None)
+    )
+    per_dataset: dict[str, dict] = {}
     for name, _weight in members:
         if name in VQA_DATASET_CLASSES:
             continue
         ds_cfg = get_dataset_config(name)
         reader = RLDSReader(train_config.data.rlds_data_dir, name, ds_cfg.tfds_version)
         pipe = _pipeline_for(train_config, ds_cfg, split="train")
+        trackers: dict[str, _norm_stats.RunningStats] = {}
         count = 0
-        for episode in reader.episodes("train"):
+        for episode in reader.episodes(
+            "train", shard_index=jax.process_index(), num_shards=jax.process_count()
+        ):
             traj = ds_cfg.standardize_fn(episode) if ds_cfg.standardize_fn else episode
             if traj is None:
                 continue
@@ -190,10 +234,61 @@ def compute_mixture_norm_stats(train_config, members, *, max_episodes_per_datase
                     trackers[key] = _norm_stats.RunningStats(arr.shape[-1])
                 trackers[key].update(arr)
             count += 1
-            if count >= max_episodes_per_dataset:
+            if max_eps is not None and count >= max_eps:
                 break
-        logger.info("norm stats: %s processed %d episodes", name, count)
-    return {k: t.finalize() for k, t in trackers.items()}
+        local = {k: t.finalize() for k, t in trackers.items()}
+        # Cross-host merge: every process contributed a disjoint episode
+        # shard; pool the per-host moments exactly, envelope the quantiles.
+        if jax.process_count() > 1:
+            gathered = gather_host_json(
+                {k: v.to_dict() for k, v in local.items()}
+            )
+            from lap_tpu.policies.model_transforms import NormStats
+
+            local = {
+                k: _norm_stats.merge_norm_stats(
+                    [NormStats.from_dict(g[k]) for g in gathered if k in g],
+                    dim=len(local[k].mean) if k in local else train_config.model.action_dim,
+                )
+                for k in {key for g in gathered for key in g}
+            }
+        per_dataset[name] = {
+            "stats": local,
+            "state_type": "joint_pos" if ds_cfg.state_encoding == "joint" else (
+                "none" if ds_cfg.state_encoding == "none" else "eef_pose"
+            ),
+        }
+        logger.info(
+            "norm stats: %s processed %d episodes (%d transitions)",
+            name, count, local.get("actions", None).num_transitions if local.get("actions") else 0,
+        )
+
+    action_dim = train_config.model.action_dim
+    stats: dict = {
+        "actions": _norm_stats.merge_norm_stats(
+            [d["stats"].get("actions") for d in per_dataset.values()], dim=action_dim
+        )
+    }
+    for state_type in ("eef_pose", "joint_pos"):
+        group = [
+            d["stats"].get("state")
+            for d in per_dataset.values()
+            if d["state_type"] == state_type and d["stats"].get("state") is not None
+        ]
+        if group:
+            # States keep their native (rot6d-expanded) dimensionality.
+            state_dim = max(len(s.mean) for s in group)
+            stats[f"state_{state_type}"] = _norm_stats.merge_norm_stats(group, dim=state_dim)
+    # Model-facing 'state' = the eef group (falls back to joint-only mixes).
+    stats["state"] = stats.get("state_eef_pose", stats.get("state_joint_pos", stats["actions"]))
+    # Frame counts for balance weights: state rows = one per frame (the
+    # actions tracker counts T*horizon rows).
+    transitions = {
+        name: int(d["stats"]["state"].num_transitions)
+        for name, d in per_dataset.items()
+        if d["stats"].get("state") is not None
+    }
+    return stats, transitions
 
 
 def build_rlds_dataset(train_config, *, split: str = "train"):
@@ -205,14 +300,17 @@ def build_rlds_dataset(train_config, *, split: str = "train"):
     members = get_mixture(mixture_name)
 
     cache = _stats_cache_path(train_config, mixture_name)
-    stats = None
+    stats, transitions = None, {}
     if cache.exists() and not data_cfg.force_recompute_stats:
         stats = _norm_stats.load_norm_stats(cache)
+        import json as _json
+
+        transitions = _json.loads(cache.read_text()).get("per_dataset_transitions", {})
     if stats is None:
         logger.info("computing norm stats for mixture %s", mixture_name)
-        stats = compute_mixture_norm_stats(train_config, members)
+        stats, transitions = compute_mixture_norm_stats(train_config, members)
         if jax.process_index() == 0:
-            _norm_stats.save_norm_stats(cache, stats)
+            _norm_stats.save_norm_stats(cache, stats, extra={"per_dataset_transitions": transitions})
 
     from lap_tpu.data.vqa import VQA_DATASET_CLASSES, build_vqa_dataset
 
@@ -251,9 +349,13 @@ def build_rlds_dataset(train_config, *, split: str = "train"):
                 process_count=jax.process_count(),
             )
         )
-        n_eps = reader.num_episodes("train")
-        if data_cfg.balance_weights and n_eps:
-            weight = weight * n_eps
+        if data_cfg.balance_weights:
+            # Weight by dataset FRAME counts (reference dataset_mixer.py:149-155),
+            # taken from the stats pass; fall back to episode counts when a
+            # cached stats file predates transition tracking.
+            n = transitions.get(name) or reader.num_episodes("train")
+            if n:
+                weight = weight * n
         weights.append(weight)
 
     if len(datasets) == 1:

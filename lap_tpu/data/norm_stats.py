@@ -91,7 +91,49 @@ class RunningStats:
             q99=self._quantile(0.99).astype(np.float32),
             min=self.min.astype(np.float32),
             max=self.max.astype(np.float32),
+            num_transitions=int(self.count),
         )
+
+
+def merge_norm_stats(stats_list: list, dim: int):
+    """Transition-weighted merge of per-dataset / per-host NormStats
+    (reference statistics.py:95-228 semantics): exact pooled mean/variance
+    via the parallel-variance identity; quantiles/min/max take the
+    elementwise envelope (q01 = min, q99 = max) across members.
+    """
+    from lap_tpu.policies.model_transforms import NormStats
+
+    def pad(x, fill=0.0):
+        x = np.asarray(x, np.float64)
+        if len(x) >= dim:
+            return x[:dim]
+        return np.pad(x, (0, dim - len(x)), constant_values=fill)
+
+    members = [s for s in stats_list if s is not None and s.num_transitions > 0]
+    if not members:
+        return NormStats(
+            mean=np.zeros(dim, np.float32), std=np.ones(dim, np.float32),
+            q01=np.zeros(dim, np.float32), q99=np.zeros(dim, np.float32),
+            min=np.zeros(dim, np.float32), max=np.zeros(dim, np.float32),
+        )
+    total = sum(s.num_transitions for s in members)
+    mean = sum(pad(s.mean) * s.num_transitions for s in members) / total
+    var = (
+        sum(
+            s.num_transitions * (pad(s.std) ** 2 + (pad(s.mean) - mean) ** 2)
+            for s in members
+        )
+        / total
+    )
+    return NormStats(
+        mean=mean.astype(np.float32),
+        std=np.sqrt(var).astype(np.float32),
+        q01=np.min([pad(s.q01) for s in members], axis=0).astype(np.float32),
+        q99=np.max([pad(s.q99) for s in members], axis=0).astype(np.float32),
+        min=np.min([pad(s.min, np.inf) for s in members], axis=0).astype(np.float32),
+        max=np.max([pad(s.max, -np.inf) for s in members], axis=0).astype(np.float32),
+        num_transitions=int(total),
+    )
 
 
 def compute_norm_stats(frames, keys=("state", "actions")) -> dict:
@@ -109,10 +151,12 @@ def compute_norm_stats(frames, keys=("state", "actions")) -> dict:
     return {k: t.finalize() for k, t in trackers.items()}
 
 
-def save_norm_stats(path: str | Path, stats: dict) -> None:
+def save_norm_stats(path: str | Path, stats: dict, *, extra: dict | None = None) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps({"norm_stats": {k: v.to_dict() for k, v in stats.items()}}))
+    payload = {"norm_stats": {k: v.to_dict() for k, v in stats.items()}}
+    payload.update(extra or {})
+    path.write_text(json.dumps(payload))
 
 
 def load_norm_stats(path: str | Path) -> dict | None:

@@ -105,11 +105,47 @@ def make_mesh(
         )
     dp = n // model_devices
     shape = (dp, fsdp_devices, tp_devices)
-    try:
-        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
-    except Exception:  # noqa: BLE001 - CPU/virtual meshes can reject topology hints
-        dev_array = np.asarray(devices).reshape(shape)
+    dev_array = _host_aware_layout(devices, fsdp_devices, tp_devices)
+    if dev_array is None:
+        try:
+            dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+        except Exception:  # noqa: BLE001 - CPU/virtual meshes can reject topology hints
+            dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, MESH_AXES)
+
+
+def _host_aware_layout(devices, fsdp_devices: int, tp_devices: int):
+    """Multi-host layout with whole-host model groups (reference
+    ``mh_sharding.py:27-60``).
+
+    When the model group (fsdp*tp) fits inside one host, every group stays
+    intra-host (its collectives ride ICI); when it is larger, groups are
+    built from whole hosts so no host straddles two groups. Returns None for
+    single-host runs (topology-aware ``create_device_mesh`` does better
+    there) or infeasible layouts (caller raises via reshape checks).
+    """
+    by_host: dict[int, list] = {}
+    for d in devices:
+        by_host.setdefault(d.process_index, []).append(d)
+    p = len(by_host)
+    if p <= 1:
+        return None
+    host_rows = [sorted(v, key=lambda d: d.id) for _, v in sorted(by_host.items())]
+    d_per_host = len(host_rows[0])
+    if any(len(r) != d_per_host for r in host_rows):
+        return None
+    model = fsdp_devices * tp_devices
+    grid = np.array(host_rows, dtype=object)  # [P, D]
+    if model <= d_per_host:
+        if d_per_host % model != 0:
+            return None
+        # [P, D] -> (P * dp_per_host, fsdp, tp): model groups never cross hosts.
+        return grid.reshape(p * (d_per_host // model), fsdp_devices, tp_devices)
+    if model % d_per_host != 0 or p % (model // d_per_host) != 0:
+        return None
+    hosts_per_group = model // d_per_host
+    # Whole-host groups: (dp_groups, hosts_per_group * D) -> (dp, fsdp, tp).
+    return grid.reshape(p // hosts_per_group, fsdp_devices, tp_devices)
 
 
 def pick_fsdp_devices(requested: int, n_devices: int | None = None) -> int:

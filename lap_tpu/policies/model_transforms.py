@@ -83,19 +83,28 @@ class NormStats:
     q99: np.ndarray | None = None
     min: np.ndarray | None = None
     max: np.ndarray | None = None
+    # Transition count backing these stats; weighs multi-dataset/multi-host
+    # merges (reference ExtendedNormStats.num_transitions).
+    num_transitions: int = 0
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             k: (None if v is None else np.asarray(v).tolist())
             for k, v in dataclasses.asdict(self).items()
+            if k != "num_transitions"
         }
+        d["num_transitions"] = int(self.num_transitions)
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "NormStats":
         def arr(x):
             return None if x is None else np.asarray(x, dtype=np.float32)
 
-        return cls(**{k: arr(d.get(k)) for k in ("mean", "std", "q01", "q99", "min", "max")})
+        return cls(
+            **{k: arr(d.get(k)) for k in ("mean", "std", "q01", "q99", "min", "max")},
+            num_transitions=int(d.get("num_transitions", 0) or 0),
+        )
 
 
 def _assert_quantile_stats(norm_stats) -> None:

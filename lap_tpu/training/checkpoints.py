@@ -206,7 +206,14 @@ def initialize_checkpoint_dir(
 
 
 def restore_params(params_dir: str | Path, *, dtype=None) -> dict:
-    """Load inference params saved by CheckpointManager (``.../{step}/params``)."""
+    """Load inference params saved by CheckpointManager (``.../{step}/params``)
+    or by the reference's nnx trainer.
+
+    Handles both released-checkpoint layouts (reference
+    weight_loaders.py:150-189): plain pytrees, and nnx.State trees where
+    every leaf path ends in a ``value`` key (stripped here, returning what
+    NNX calls a "pure dict").
+    """
     path = Path(params_dir).resolve()
     with ocp.PyTreeCheckpointer() as ckptr:
         # Restore as host numpy arrays (no sharding requirement); the caller
@@ -219,9 +226,125 @@ def restore_params(params_dir: str | Path, *, dtype=None) -> dict:
         )
         restored = ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     params = restored["params"] if isinstance(restored, dict) and "params" in restored else restored
+    params = _strip_nnx_value_suffix(params)
     if dtype is not None:
         params = jax.tree.map(lambda x: x.astype(dtype) if hasattr(x, "astype") else x, params)
     return params
+
+
+def restore_params_sharded(params_dir: str | Path, shardings, *, partial: bool = False) -> dict:
+    """Restore a params checkpoint directly onto device shardings.
+
+    ``shardings`` is a pytree of NamedShardings matching the (pure-dict)
+    parameter tree; arrays land sharded without staging the full f32 model in
+    host memory — required to evaluate a >single-chip model (reference
+    eval.py restores the train state with its sharding tree).
+
+    ``partial=True`` restores ONLY the leaves covered by ``shardings`` (e.g.
+    just the ``params`` subtree of a train_state item, skipping optimizer
+    state entirely).
+
+    Handles the same layouts as :func:`restore_params` (plain, ``params``
+    wrapper, nnx ``value`` suffix).
+    """
+    import numpy as np
+
+    path = Path(params_dir).resolve()
+    flat_sh = {}
+
+    def _keys(keypath):
+        return tuple(str(getattr(k, "key", getattr(k, "idx", None))) for k in keypath)
+
+    def collect(keypath, leaf):
+        flat_sh[_keys(keypath)] = leaf
+
+    jax.tree_util.tree_map_with_path(collect, shardings)
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+
+        def arg(keypath, _leaf):
+            keys = _keys(keypath)
+            candidates = [keys]
+            if keys and keys[-1] == "value":  # nnx.State leaf suffix
+                candidates.append(keys[:-1])
+            for c in list(candidates):
+                if c and c[0] == "params":  # {'params': tree} wrapper
+                    candidates.append(c[1:])
+            for c in candidates:
+                sharding = flat_sh.get(c)
+                if sharding is not None:
+                    return ocp.type_handlers.ArrayRestoreArgs(sharding=sharding)
+            return None if partial else ocp.type_handlers.RestoreArgs(restore_type=np.ndarray)
+
+        if partial:
+            # Build pruned (item, restore_args) trees holding ONLY the leaves
+            # covered by `shardings`, so orbax never reads the rest.
+            def build(node, prefix):
+                if isinstance(node, dict):
+                    items, args_ = {}, {}
+                    for k, v in node.items():
+                        sub = build(v, prefix + (str(k),))
+                        if sub is not None:
+                            items[k], args_[k] = sub
+                    return (items, args_) if items else None
+                a = arg_for(prefix)
+                return (node, a) if a is not None else None
+
+            def arg_for(keys):
+                candidates = [keys]
+                if keys and keys[-1] == "value":
+                    candidates.append(keys[:-1])
+                for c in list(candidates):
+                    if c and c[0] == "params":
+                        candidates.append(c[1:])
+                for c in candidates:
+                    sharding = flat_sh.get(c)
+                    if sharding is not None:
+                        return ocp.type_handlers.ArrayRestoreArgs(sharding=sharding)
+                return None
+
+            # item_metadata is a TreeMetadata wrapper; recurse over its dict.
+            built = build(getattr(meta, "tree", meta), ())
+            if built is None:
+                raise KeyError(f"no checkpoint leaves match the sharding tree under {path}")
+            item, restore_args = built
+            restored = ckptr.restore(
+                path,
+                args=ocp.args.PyTreeRestore(
+                    item=item, restore_args=restore_args, partial_restore=True
+                ),
+            )
+        else:
+            restore_args = jax.tree_util.tree_map_with_path(arg, meta)
+            restored = ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+    params = restored["params"] if isinstance(restored, dict) and "params" in restored else restored
+    return _strip_nnx_value_suffix(params)
+
+
+def _strip_nnx_value_suffix(params: dict) -> dict:
+    """nnx.State trees end every key path with "value"; strip to a pure dict."""
+    if not isinstance(params, dict) or not params:
+        return params
+    flat = {}
+
+    def walk(node, path):
+        if isinstance(node, dict) and node:
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            flat[path] = node
+
+    walk(params, ())
+    if not flat or not all(kp and kp[-1] == "value" for kp in flat):
+        return params
+    out: dict = {}
+    for kp, v in flat.items():
+        node = out
+        for k in kp[:-2]:
+            node = node.setdefault(k, {})
+        node[kp[-2]] = v
+    return out
 
 
 def load_norm_stats(assets_dir: str | Path, asset_id: str) -> dict | None:

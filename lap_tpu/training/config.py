@@ -48,6 +48,14 @@ class DataConfig:
     action_proprio_normalization_type: NormalizationType = NormalizationType.BOUNDS_Q99
     resize_resolution: tuple[int, int] = (224, 224)
     force_recompute_stats: bool = False
+    # Cap on episodes per dataset for the norm-stats pass; None = full pass
+    # (the reference default). Set small for quick debug runs.
+    norm_stats_max_episodes: int | None = None
+    # Robot-frame grounding QA (reference vqa/bbox/): directory holding
+    # per-dataset subdirs of JSONL bbox annotations; frames with annotations
+    # become bbox/direction QA samples with probability grounding_prob.
+    bbox_annotations_dir: str | None = None
+    grounding_prob: float = 0.3
     want_full_determinism: bool = False
     data_mix: str | None = "oxe_magic_soup"
     balance_weights: bool = True

@@ -17,7 +17,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lap_tpu.parallel import data_sharding, make_mesh, pick_fsdp_devices, set_mesh
+from lap_tpu.parallel import (
+    data_sharding,
+    fsdp_sharding,
+    make_mesh,
+    pick_fsdp_devices,
+    replicated,
+    set_mesh,
+)
 from lap_tpu.training import checkpoints as _checkpoints
 from lap_tpu.training import config as _config
 from lap_tpu.training.metrics_logging import MetricsLogger, reduce_metrics
@@ -25,7 +32,12 @@ from lap_tpu.training.metrics_logging import MetricsLogger, reduce_metrics
 logger = logging.getLogger("lap_tpu.eval")
 
 
-def make_evaluators(model):
+def make_evaluators(model, mesh, params_sharding):
+    shardings = dict(
+        in_shardings=(params_sharding, replicated(mesh), data_sharding(mesh)),
+        out_shardings=replicated(mesh),
+    )
+
     def val_loss(params, rng, batch):
         obs, actions = batch
         loss, metrics = model.apply(
@@ -41,15 +53,40 @@ def make_evaluators(model):
         l2 = jnp.sqrt(jnp.sum((sampled - actions) ** 2, axis=-1)).mean()
         return {"action_prediction_l2": l2}
 
-    return jax.jit(val_loss), jax.jit(action_prediction_loss)
+    return jax.jit(val_loss, **shardings), jax.jit(action_prediction_loss, **shardings)
 
 
-def evaluate_checkpoint(config, model, ckpt_mgr, step: int, loader, *, num_batches):
-    from lap_tpu.training.checkpoints import restore_params
+def _params_sharding(config, model, mesh):
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+        )
+    )["params"]
+    return fsdp_sharding(shapes, mesh)
 
-    params_dir = ckpt_mgr.directory / str(step) / "params"
-    params = restore_params(params_dir)
-    val_fn, pred_fn = make_evaluators(model)
+
+def restore_eval_params(config, ckpt_mgr, step: int, mesh, params_sharding):
+    """Pick EMA or raw params per ``eval_use_ema`` (reference eval.py:353-361)
+    and restore them sharded over the mesh (no full host-memory staging)."""
+    from lap_tpu.training.checkpoints import restore_params_sharded
+
+    if config.eval_use_ema or not config.has_ema:
+        # The ``params`` item holds the EMA weights when EMA is enabled,
+        # the raw weights otherwise (CheckpointManager.save).
+        params_dir = ckpt_mgr.directory / str(step) / "params"
+        return restore_params_sharded(params_dir, params_sharding)
+    # eval_use_ema=False with EMA enabled: the raw weights live in the
+    # train_state item; partial restore skips the optimizer state. The
+    # {'params': ...} wrapper is unwrapped by restore_params_sharded.
+    params_dir = ckpt_mgr.directory / str(step) / "train_state"
+    return restore_params_sharded(params_dir, {"params": params_sharding}, partial=True)
+
+
+def evaluate_checkpoint(
+    config, model, ckpt_mgr, step: int, loader, *, num_batches, mesh, params_sharding
+):
+    params = restore_eval_params(config, ckpt_mgr, step, mesh, params_sharding)
+    val_fn, pred_fn = make_evaluators(model, mesh, params_sharding)
     rng = jax.random.PRNGKey(config.seed)
 
     all_metrics: list[dict] = []
@@ -72,7 +109,10 @@ def evaluate_checkpoint(config, model, ckpt_mgr, step: int, loader, *, num_batch
 
 def main(config: _config.TrainConfig) -> None:
     logging.basicConfig(level=logging.INFO, force=True)
-    mesh = make_mesh(fsdp_devices=pick_fsdp_devices(config.fsdp_devices))
+    mesh = make_mesh(
+        fsdp_devices=pick_fsdp_devices(config.fsdp_devices),
+        tp_devices=config.tp_devices,
+    )
     ckpt_mgr = _checkpoints.CheckpointManager(
         config.checkpoint_dir, keep_period=config.keep_period
     )
@@ -89,6 +129,7 @@ def main(config: _config.TrainConfig) -> None:
         raise FileNotFoundError(f"no checkpoints found under {config.checkpoint_dir}")
 
     model = config.model.create_module()
+    params_sharding = _params_sharding(config, model, mesh)
     from lap_tpu.data.loader import create_data_loader
 
     loader = create_data_loader(config, mesh, split=config.eval_split)
@@ -99,7 +140,9 @@ def main(config: _config.TrainConfig) -> None:
     with set_mesh(mesh):
         for step in steps:
             scalars = evaluate_checkpoint(
-                config, model, ckpt_mgr, step, loader, num_batches=config.num_eval_batches
+                config, model, ckpt_mgr, step, loader,
+                num_batches=config.num_eval_batches,
+                mesh=mesh, params_sharding=params_sharding,
             )
             logger.info("checkpoint %d: %s", step, scalars)
             metrics_logger.log(step, scalars, prefix="eval")

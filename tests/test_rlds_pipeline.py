@@ -93,10 +93,13 @@ def test_mixture_and_norm_stats(libero_dir):
     dataset, stats = build_rlds_dataset(tc, split="train")
     assert "actions" in stats and "state" in stats
     assert stats["actions"].q99.shape[-1] == tc.model.action_dim
+    from lap_tpu.data.episode_pipeline import make_image_decoder
+
+    decode = make_image_decoder(tc.data.resize_resolution)
     frames = []
     it = iter(dataset)
     for _ in range(8):
-        frames.append(next(it))
+        frames.append(decode(next(it)))
     f = frames[0]
     assert f["observation"]["base_0_rgb"].shape == (56, 56, 3)
     assert f["actions"].shape == (tc.model.action_horizon, tc.model.action_dim)
