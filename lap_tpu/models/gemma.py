@@ -112,6 +112,11 @@ class Embedder(nn.Module):
 
     def encode(self, tokens):
         x = self.input_embedding_table[(tokens,)]
+        # Explicit reshard boundary: the gather over the (vocab-sharded
+        # under tp) table produces an awkward layout; constraining here lets
+        # GSPMD insert one clean collective instead of an involuntary full
+        # rematerialization downstream.
+        x = activation_sharding_constraint(x)
         return x * jnp.sqrt(self.embed_dim).astype(x.dtype)
 
     def decode(self, x):
@@ -128,16 +133,22 @@ def init_cache(k, v, cache_size, cache_dtype=None):
 
 
 def update_cache(k, v, idx, k_cache, v_cache, cache_dtype=None):
-    """Write a single decode step's K/V at the current index."""
+    """Write a single decode step's K/V at each batch row's own index.
+
+    Per-row scatter (vmapped dynamic_update_slice) so rows with different
+    filled lengths stay correct — right-align-padded prefills keep idx
+    uniform, but nothing silently corrupts if that invariant breaks.
+    """
     if k.shape[1] != 1:
         raise ValueError("KV-cache updates must be single-token")
     dtype = cache_dtype or k.dtype
-    at = (0, idx[0], 0, 0)
-    return (
-        idx + 1,
-        jax.lax.dynamic_update_slice(k_cache, k.astype(dtype), at),
-        jax.lax.dynamic_update_slice(v_cache, v.astype(dtype), at),
-    )
+
+    def write(cache, new):
+        return jax.vmap(
+            lambda c, n, i: jax.lax.dynamic_update_slice(c, n.astype(dtype), (i, 0, 0))
+        )(cache, new, idx)
+
+    return idx + 1, write(k_cache, k), write(v_cache, v)
 
 
 class Attention(nn.Module):

@@ -59,7 +59,10 @@ def attention(
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "flash" if (on_tpu and q.shape[1] > 1) else "xla"
+        # Flash pads queries to its 256-row block: short-query decode (e.g.
+        # the 17-token flow-suffix step) would waste ~15x query compute
+        # there, and the whole score matrix is tiny anyway — keep it on XLA.
+        impl = "flash" if (on_tpu and q.shape[1] >= 192) else "xla"
     if impl == "flash":
         return flash_attention(q, k, v, mask, scale=scale)
     if impl == "xla":
