@@ -59,10 +59,16 @@ def attention(
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        # Flash pads queries to its 256-row block: short-query decode (e.g.
-        # the 17-token flow-suffix step) would waste ~15x query compute
-        # there, and the whole score matrix is tiny anyway — keep it on XLA.
-        impl = "flash" if (on_tpu and q.shape[1] >= 192) else "xla"
+        # Flash pads queries to its 256-row block and head dims to the
+        # 128-wide lane tiles: short-query decode (the 17-token flow-suffix
+        # step) would waste ~15x query compute, and ragged head dims (e.g.
+        # SigLIP's 72) waste ~1.8x everywhere — measured 6.4 ms (XLA) vs
+        # 11.0 ms (flash) for the So400m forward on v5e. Keep those on XLA.
+        impl = (
+            "flash"
+            if (on_tpu and q.shape[1] >= 192 and q.shape[-1] % 128 == 0)
+            else "xla"
+        )
     if impl == "flash":
         return flash_attention(q, k, v, mask, scale=scale)
     if impl == "xla":

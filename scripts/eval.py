@@ -132,20 +132,46 @@ def main(config: _config.TrainConfig) -> None:
     params_sharding = _params_sharding(config, model, mesh)
     from lap_tpu.data.loader import create_data_loader
 
-    loader = create_data_loader(config, mesh, split=config.eval_split)
+    # Dataset configurations to evaluate, loaders built once upfront
+    # (reference eval.py:285-360): the run's own mixture plus, when a
+    # mixture is configured, the held-out demo mixture at val_fraction=1.
+    import dataclasses as _dc
+
+    dataset_configs = [("original", config)]
+    if config.data.data_mix is not None:
+        dataset_configs.append(
+            (
+                "eval_demo_dataset",
+                _dc.replace(
+                    config,
+                    data=_dc.replace(
+                        config.data, data_mix="eval_demo_dataset", val_fraction=1.0
+                    ),
+                ),
+            )
+        )
+    loaders = {}
+    for ds_name, ds_cfg in dataset_configs:
+        try:
+            loaders[ds_name] = create_data_loader(ds_cfg, mesh, split=ds_cfg.eval_split)
+        except Exception as e:  # noqa: BLE001 - optional mixtures may be absent
+            logger.info("skipping eval dataset config %r: %s", ds_name, e)
+
     metrics_logger = MetricsLogger(
         log_dir=config.checkpoint_dir, wandb_enabled=config.wandb_enabled,
         project=config.project_name, exp_name=f"{config.exp_name}-eval",
     )
     with set_mesh(mesh):
         for step in steps:
-            scalars = evaluate_checkpoint(
-                config, model, ckpt_mgr, step, loader,
-                num_batches=config.num_eval_batches,
-                mesh=mesh, params_sharding=params_sharding,
-            )
-            logger.info("checkpoint %d: %s", step, scalars)
-            metrics_logger.log(step, scalars, prefix="eval")
+            for ds_name, loader in loaders.items():
+                scalars = evaluate_checkpoint(
+                    config, model, ckpt_mgr, step, loader,
+                    num_batches=config.num_eval_batches,
+                    mesh=mesh, params_sharding=params_sharding,
+                )
+                scalars = {f"{ds_name}/{k}": v for k, v in scalars.items()}
+                logger.info("checkpoint %d [%s]: %s", step, ds_name, scalars)
+                metrics_logger.log(step, scalars, prefix="eval")
     metrics_logger.close()
 
 
