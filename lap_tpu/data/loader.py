@@ -127,31 +127,39 @@ class TransformedDataLoader:
         return idx
 
     def __iter__(self) -> Iterator:
-        """Infinite iterator over device-placed batches."""
+        """Infinite iterator over device-placed batches.
+
+        The per-sample transform chain (jpeg decode, resize, aug, tokenize)
+        runs on a ``num_threads`` pool — cv2 and numpy release the GIL, so
+        host preprocessing scales with cores and overlaps device compute
+        (replacing the reference's tf.data parallel maps). Producer errors
+        propagate to the consumer instead of hanging it.
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         indexable = hasattr(self.dataset, "__getitem__")
+        depth = max(self.num_threads * 4, self.batch_size)
 
-        def producer_indexable():
+        def raw_indexable():
             # Exact resume: fast-forward to the epoch AND the within-epoch
             # batch offset implied by batches_seen. _sample_indices is a pure
             # function of (seed, epoch), so this reproduces the uninterrupted
             # stream position (reference data_loader.py skip-n semantics).
             batches_per_epoch = max(len(self._sample_indices(0)) // self.batch_size, 1)
             epoch, offset_batches = divmod(self._batches_seen, batches_per_epoch)
-            while not stop.is_set():
+            while True:
                 indices = self._sample_indices(epoch)
                 start0 = offset_batches * self.batch_size
                 offset_batches = 0
                 for start in range(start0, len(indices) - self.batch_size + 1, self.batch_size):
-                    if stop.is_set():
-                        return
-                    batch_idx = indices[start : start + self.batch_size]
-                    samples = [self._transform(self.dataset[int(i)]) for i in batch_idx]
-                    out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
+                    for i in indices[start : start + self.batch_size]:
+                        yield self.dataset[int(i)]
                 epoch += 1
 
-        def producer_iterable():
+        def raw_iterable():
             it = iter(self.dataset)
             # Exact resume for iterable (RLDS) datasets: the mixture stream is
             # a pure function of its seeds, so discarding the raw samples that
@@ -162,38 +170,58 @@ class TransformedDataLoader:
             if skip:
                 logger.info("dataloader resume: skipping %d raw samples", skip)
                 for _ in range(skip):
-                    if stop.is_set():
-                        return
                     try:
                         next(it)
                     except StopIteration:
-                        out_q.put(None)
                         return
-            samples = []
-            for raw in it:
-                if stop.is_set():
-                    return
-                samples.append(self._transform(raw))
-                if len(samples) == self.batch_size:
-                    out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
-                    samples = []
-            if samples and not self.drop_remainder:
-                out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
-            out_q.put(None)  # exhausted (validation)
+            yield from it
 
-        thread = threading.Thread(
-            target=producer_indexable if indexable else producer_iterable, daemon=True
-        )
+        def producer():
+            try:
+                raw_iter = raw_indexable() if indexable else raw_iterable()
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    futures: deque = deque()
+                    exhausted = False
+                    samples = []
+                    while True:
+                        while not exhausted and len(futures) < depth:
+                            try:
+                                futures.append(pool.submit(self._transform, next(raw_iter)))
+                            except StopIteration:
+                                exhausted = True
+                        if not futures:
+                            break
+                        if stop.is_set():
+                            return
+                        samples.append(futures.popleft().result())
+                        if len(samples) == self.batch_size:
+                            out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
+                            samples = []
+                if samples and not self.drop_remainder:
+                    out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
+                out_q.put(None)  # exhausted (validation)
+            except BaseException as e:  # noqa: BLE001 - surface in the consumer
+                out_q.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True)
         thread.start()
         try:
             while True:
                 batch = out_q.get()
                 if batch is None:  # iterable dataset exhausted
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 self._batches_seen += 1
                 yield self._to_device(batch)
         finally:
             stop.set()
+            # Unblock the producer if it's parked on a full queue.
+            while not out_q.empty():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
 
     def _to_device(self, batch: dict):
         actions = batch.pop("actions", None)

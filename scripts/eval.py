@@ -109,6 +109,15 @@ def evaluate_checkpoint(
 
 def main(config: _config.TrainConfig) -> None:
     logging.basicConfig(level=logging.INFO, force=True)
+    import os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "LAP_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/lap_tpu/xla")
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     mesh = make_mesh(
         fsdp_devices=pick_fsdp_devices(config.fsdp_devices),
         tp_devices=config.tp_devices,

@@ -80,6 +80,18 @@ def create_policy(args):
 
 def main():
     logging.basicConfig(level=logging.INFO)
+    # Cold-start latency: reuse compiled inference graphs across restarts.
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "LAP_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/lap_tpu/xla")
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="LAP", choices=[e.value for e in EnvMode])
     parser.add_argument("--config", default=None, help="override config name")

@@ -85,6 +85,21 @@ def init_train_state(config, steps, mesh, resuming: bool):
     return state, state_sharding
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (reference train.py:153): repeat
+    runs of the same graphs skip the multi-minute compile."""
+    import os
+
+    cache_dir = os.environ.get(
+        "LAP_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/lap_tpu/xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # noqa: BLE001 - cache is best-effort
+        logger.info("compilation cache disabled: %s", e)
+
+
 def main(config: _config.TrainConfig) -> None:
     logging.basicConfig(
         level=logging.INFO,
@@ -92,6 +107,7 @@ def main(config: _config.TrainConfig) -> None:
         datefmt="%H:%M:%S",
         force=True,
     )
+    _enable_compilation_cache()
     init_distributed(config)
     fsdp = pick_fsdp_devices(config.fsdp_devices)
     mesh = make_mesh(fsdp_devices=fsdp, tp_devices=config.tp_devices)
