@@ -63,9 +63,14 @@ class Policy(BasePolicy):
         self._input = compose(input_transforms)
         self._output = compose(output_transforms)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._step = 0
+        # The per-request key is derived INSIDE jit (fold_in on a host int):
+        # a host-side jax.random.split would add a device round-trip per
+        # request, which dominates serving latency on remote-attached chips.
         self._sample = jax.jit(
-            lambda p, r, o: model.apply(
-                p, r, o, num_steps=num_steps, method=model.sample_actions
+            lambda p, r, step, o: model.apply(
+                p, jax.random.fold_in(r, step), o, num_steps=num_steps,
+                method=model.sample_actions,
             )
         )
 
@@ -74,8 +79,8 @@ class Policy(BasePolicy):
         inputs = self._input(dict(obs))
         batch = _make_batch(inputs)
         observation = CoTObservation.from_dict(batch)
-        self._rng, rng = jax.random.split(self._rng)
-        actions = self._sample(self._params, rng, observation)
+        self._step += 1
+        actions = self._sample(self._params, self._rng, self._step, observation)
         outputs = {
             "state": np.asarray(batch["state"])[0],
             "actions": np.asarray(actions)[0],
@@ -110,10 +115,13 @@ class ARPolicy(BasePolicy):
         self._input = compose(input_transforms)
         self._output = compose(output_transforms)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._step = 0
+        # Key derivation happens inside jit (see Policy): no host-side
+        # device round-trip per request.
         self._sample = jax.jit(
-            lambda p, r, o: model.apply(
+            lambda p, r, step, o: model.apply(
                 p,
-                r,
+                jax.random.fold_in(r, step),
                 o,
                 max_decoding_steps=max_decoding_steps,
                 temperature=temperature,
@@ -126,8 +134,8 @@ class ARPolicy(BasePolicy):
         inputs = self._input(dict(obs))
         batch = _make_batch(inputs)
         observation = CoTObservation.from_dict(batch)
-        self._rng, rng = jax.random.split(self._rng)
-        tokens = self._sample(self._params, rng, observation)
+        self._step += 1
+        tokens = self._sample(self._params, self._rng, self._step, observation)
         outputs = {
             "state": np.asarray(batch["state"])[0],
             "tokens": np.asarray(tokens),
