@@ -160,6 +160,26 @@ class DatasetLogTracker:
         ]
 
 
+def log_device_mem(prefix: str = "") -> dict:
+    """Device HBM probe (the reference depends on jax-smi for this)."""
+    import jax
+
+    out = {}
+    try:
+        for d in jax.local_devices():
+            stats = d.memory_stats() or {}
+            used = stats.get("bytes_in_use", 0) / 2**30
+            limit = stats.get("bytes_limit", 0) / 2**30
+            out[f"hbm_gb_used_d{d.id}"] = round(used, 2)
+            logger.info(
+                "%sdevice %s HBM: %.2f / %.2f GB", f"{prefix} " if prefix else "",
+                d.id, used, limit,
+            )
+    except Exception:  # noqa: BLE001 - not all backends expose memory_stats
+        pass
+    return out
+
+
 def log_mem(prefix: str = "") -> dict:
     """Host RAM probe (reference metrics_logging.py:124-128)."""
     try:

@@ -228,6 +228,11 @@ def main(config: _config.TrainConfig) -> None:
                 except Exception as e:  # noqa: BLE001 - viz is best-effort
                     logger.info("batch visualization skipped: %s", e)
             state, metrics = train_step(rng, state, batch)
+            if step == start_step:
+                from lap_tpu.training.metrics_logging import log_device_mem
+
+                jax.block_until_ready(metrics["loss"])
+                log_device_mem("post-first-step")
             if trace_dir and step == start_step + 5:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
