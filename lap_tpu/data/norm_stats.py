@@ -62,8 +62,11 @@ class RunningStats:
         lo, hi = self._hist_edges
         idx = ((batch - lo) / (hi - lo) * NUM_QUANTILE_BINS).astype(np.int64)
         idx = np.clip(idx, 0, NUM_QUANTILE_BINS - 1)
-        for d in range(self.dim):
-            np.add.at(self._hist[d], idx[:, d], 1)
+        # One scatter-add on the flattened (dim, bins) table instead of a
+        # python loop over dims: the full-pass stats sweep is O(frames).
+        flat = idx + np.arange(self.dim, dtype=np.int64) * NUM_QUANTILE_BINS
+        counts = np.bincount(flat.ravel(), minlength=self.dim * NUM_QUANTILE_BINS)
+        self._hist += counts.reshape(self.dim, NUM_QUANTILE_BINS)
 
     def _quantile(self, q: float) -> np.ndarray:
         if self._hist is None:
