@@ -396,6 +396,10 @@ def make_image_decoder(
         for key in (primary_image_key, wrist_image_key):
             raw = sample["observation"].get(key)
             if raw is None or not _nonempty(raw):
+                # Drop empty entries (datasets without this camera) so the
+                # model-side image handler substitutes zeros; a raw b""
+                # would otherwise reach batch collation and break stacking.
+                sample["observation"].pop(key, None)
                 continue
             img = decode_image(raw)
             img = resize_with_pad_np(img, *resize_resolution)

@@ -267,11 +267,27 @@ _BATCH_KEYS = (
 
 
 def _keep_batch_fields(sample: dict) -> dict:
-    """Final per-sample projection to model fields (drops host-only keys)."""
+    """Final per-sample projection to model fields (drops host-only keys).
+
+    Mixtures are heterogeneous (e.g. datasets without language-action
+    supervision emit no langact masks); batch collation needs a uniform
+    schema, so optional token masks default to all-False (reference
+    output_schema canonicalization).
+    """
     out = {"image": sample["image"], "image_mask": sample["image_mask"]}
     for k in _BATCH_KEYS:
         if k in sample and sample[k] is not None:
             out[k] = np.asarray(sample[k])
+    if "tokenized_prompt" in out:
+        token_shape = np.shape(out["tokenized_prompt"])
+        for k in (
+            "tokenized_langact_mask",
+            "critical_token_mask",
+            "number_token_mask",
+            "direction_token_mask",
+        ):
+            if k not in out:
+                out[k] = np.zeros(token_shape, dtype=bool)
     return out
 
 

@@ -35,6 +35,20 @@ def _steps(episode: dict) -> dict:
     return episode.get("steps", episode)
 
 
+def _g(mapping: dict, key: str, default=None):
+    """Fetch a feature that may be stored flat ("a/b" literal key, as TFDS
+    emits it) or nested ({"a": {"b": ...}}, as our reader's unflatten emits
+    it for slash-containing names)."""
+    if key in mapping:
+        return mapping[key]
+    node = mapping
+    for part in key.split("/"):
+        if not isinstance(node, dict) or part not in node:
+            return default
+        node = node[part]
+    return node
+
+
 def _instructions(steps: dict, key: str = "language_instruction") -> list[str]:
     inst = steps.get(key)
     if inst is None:
@@ -272,11 +286,11 @@ def kuka_dataset_transform(episode: dict) -> dict:
     steps = _steps(episode)
     obs = steps["observation"]
     # State is ZLIB-compressed float32 [x y z qx qy qz qw].
-    raw = obs["clip_function_input/base_pose_tool_reached"]
+    raw = _g(obs, "clip_function_input/base_pose_tool_reached")
     pose = np.stack(
         [np.frombuffer(zlib.decompress(r), np.float32).reshape(7) for r in raw]
     )
-    grip_raw = obs["gripper_closed"]
+    grip_raw = _g(obs, "gripper_closed")
     grip_closed = np.stack(
         [np.frombuffer(zlib.decompress(r), np.float32).reshape(()) for r in grip_raw]
     )
@@ -547,19 +561,19 @@ def bc_z_dataset_transform(episode: dict) -> dict:
     obs = steps["observation"]
     act = steps["action"]
     grip = invert_gripper_actions(
-        np.asarray(act["future/target_close"], np.float32).reshape(len(obs["present/xyz"]), -1)[:, :1]
+        np.asarray(_g(act, "future/target_close"), np.float32).reshape(len(_g(obs, "present/xyz")), -1)[:, :1]
     )
     present_euler = rotation.axis_angle_to_euler(
-        np.asarray(obs["present/axis_angle"], np.float32)[:, :3]
+        np.asarray(_g(obs, "present/axis_angle"), np.float32)[:, :3]
     )
     eef = rotation.coordinate_transform_bcz(
         np.concatenate(
-            [np.asarray(obs["present/xyz"], np.float32)[:, :3], present_euler], axis=-1
+            [np.asarray(_g(obs, "present/xyz"), np.float32)[:, :3], present_euler], axis=-1
         )
     ).astype(np.float32)
     grip_state = np.clip(
         invert_gripper_actions(
-            np.asarray(obs["present/sensed_close"], np.float32).reshape(-1, 1)
+            np.asarray(_g(obs, "present/sensed_close"), np.float32).reshape(-1, 1)
         ) / 0.8, 0, 1,
     )
     return _canonical(
