@@ -132,3 +132,47 @@ def test_gemma3_prefix_structure():
     # image placeholders contiguous (256 each)
     first = toks.index(GEMMA3_IMAGE_TOKEN)
     assert all(t == GEMMA3_IMAGE_TOKEN for t in toks[first : first + 256])
+
+
+# ---------------------------------------------------------------------------
+# Byte-parity vs a real sentencepiece model (env-gated: no .model file or
+# sentencepiece wheel ships in the offline image). With
+# LAP_TPU_TOKENIZER_MODEL set this becomes the released-checkpoint parity
+# gate of BASELINE.md.
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+
+_REAL_MODEL = os.environ.get("LAP_TPU_TOKENIZER_MODEL")
+
+PARITY_STRINGS = [
+    "pick up the red mug and place it on the plate",
+    "The robot moves forward 0.25 meters, rotates -15 degrees.",
+    "<loc0123><loc0456><loc0789><loc1000> cup",
+    "move left and forward\n",
+    "…unicode ✓ bytes ÿ",
+]
+
+
+@pytest.mark.skipif(
+    not (_REAL_MODEL and os.path.exists(_REAL_MODEL)),
+    reason="LAP_TPU_TOKENIZER_MODEL not set (offline image has no .model)",
+)
+def test_spm_roundtrip_real_model():
+    proc = spm.SentencePieceProcessor(_REAL_MODEL)
+    for text in PARITY_STRINGS:
+        ids = proc.encode(text)
+        assert ids, text
+        assert proc.decode(ids).strip() == text.strip()
+
+
+@pytest.mark.skipif(
+    not (_REAL_MODEL and os.path.exists(_REAL_MODEL)),
+    reason="LAP_TPU_TOKENIZER_MODEL not set",
+)
+def test_spm_byte_parity_vs_sentencepiece():
+    real_spm = pytest.importorskip("sentencepiece")
+    ref = real_spm.SentencePieceProcessor(model_file=_REAL_MODEL)
+    proc = spm.SentencePieceProcessor(_REAL_MODEL)
+    for text in PARITY_STRINGS:
+        assert proc.encode(text) == list(ref.encode(text)), text
