@@ -390,6 +390,17 @@ def flash_attention(
     h = q.shape[-1]
     if scale is None:
         scale = h**-0.5
+    # Short-sequence shape tuning: when the whole KV side fits one block,
+    # take it in one pass (no cross-block online-softmax rescale) with
+    # narrower query tiles — measured ~2x on the LAP prefill shape
+    # (T=S=768, 8 heads, H=256) vs the generic (256, 512) blocks.
+    if (
+        block_q == DEFAULT_BLOCK_Q
+        and block_kv == DEFAULT_BLOCK_KV
+        and k.shape[1] <= 768
+    ):
+        block_kv = max(-(-k.shape[1] // 128) * 128, 128)
+        block_q = 128
     # Kernel-internal layout is [B, heads, seq, H].
     q_t = jnp.swapaxes(q, 1, 2)
     k_t = jnp.swapaxes(k, 1, 2)
