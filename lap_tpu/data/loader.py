@@ -121,8 +121,11 @@ class TransformedDataLoader:
         # Multi-host: the shuffle is seed-identical on every process, so a
         # strided slice gives each process a disjoint part of the same global
         # permutation (iterable datasets shard at the RLDS reader instead).
+        # Truncate first so every process sees the SAME per-epoch length —
+        # otherwise hosts disagree on batches_per_epoch and resume diverges.
         n_proc = jax.process_count()
         if n_proc > 1:
+            idx = idx[: (len(idx) // n_proc) * n_proc]
             idx = idx[jax.process_index()::n_proc]
         return idx
 
@@ -176,6 +179,17 @@ class TransformedDataLoader:
                         return
             yield from it
 
+        def put(item) -> bool:
+            """Queue put that gives up when the consumer is gone (no leaked
+            producer threads parked forever on a full queue)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 raw_iter = raw_indexable() if indexable else raw_iterable()
@@ -195,13 +209,15 @@ class TransformedDataLoader:
                             return
                         samples.append(futures.popleft().result())
                         if len(samples) == self.batch_size:
-                            out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
+                            if not put(jax.tree.map(lambda *xs: np.stack(xs), *samples)):
+                                return
                             samples = []
                 if samples and not self.drop_remainder:
-                    out_q.put(jax.tree.map(lambda *xs: np.stack(xs), *samples))
-                out_q.put(None)  # exhausted (validation)
+                    if not put(jax.tree.map(lambda *xs: np.stack(xs), *samples)):
+                        return
+                put(None)  # exhausted (validation)
             except BaseException as e:  # noqa: BLE001 - surface in the consumer
-                out_q.put(e)
+                put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
