@@ -211,6 +211,23 @@ def main(config: _config.TrainConfig) -> None:
 
     trace_dir = os.environ.get("LAP_TPU_TRACE_DIR")
 
+    # Graceful preemption: on SIGTERM (the TPU-VM eviction signal) finish the
+    # in-flight step, save a checkpoint, and exit 0 so the resumed run loses
+    # no work.
+    import signal
+    import threading
+
+    preempted = threading.Event()
+
+    def _on_sigterm(signum, frame):  # noqa: ARG001
+        logger.warning("SIGTERM received: checkpointing and exiting after this step")
+        preempted.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (e.g. under a test harness)
+        pass
+
     rng = jax.random.PRNGKey(config.seed)
     start_step = int(state.step)
     first_batch_visualized = False
@@ -246,10 +263,19 @@ def main(config: _config.TrainConfig) -> None:
                     metrics_logger.log(step + 1, jax.device_get(val_metrics), prefix="val")
                 except StopIteration:
                     val_iter = iter(val_loader)
-            if (step + 1) % config.save_interval == 0 or step + 1 == config.num_train_steps:
+            if (
+                (step + 1) % config.save_interval == 0
+                or step + 1 == config.num_train_steps
+                or preempted.is_set()
+            ):
                 assets = _collect_assets(config, loader)
                 ckpt_mgr.save(step + 1, state, assets=assets)
                 logger.info("saved checkpoint at step %d", step + 1)
+            if preempted.is_set():
+                ckpt_mgr.wait_until_finished()
+                metrics_logger.close()
+                logger.warning("exiting after preemption checkpoint at step %d", step + 1)
+                return
 
     ckpt_mgr.wait_until_finished()
     metrics_logger.close()

@@ -67,3 +67,31 @@ def test_sigkill_mid_training_then_resume(tmp_path):
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
     assert "training complete" in (out.stdout + out.stderr)
+
+
+def test_sigterm_saves_and_exits_cleanly(tmp_path):
+    """Graceful preemption: SIGTERM -> checkpoint -> exit 0 -> resume."""
+    ckpt = tmp_path / "ck"
+    proc = subprocess.Popen(
+        _train_cmd(ckpt, steps=500, resume=False),
+        cwd=REPO, env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    run_dir = ckpt / "debug" / "default"
+    deadline = time.time() + 400
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise AssertionError(f"train exited early:\n{proc.stdout.read()[-3000:]}")
+        if run_dir.exists() and any(p.name.isdigit() for p in run_dir.iterdir()):
+            break
+        time.sleep(1.0)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out[-3000:]
+    assert "exiting after preemption checkpoint" in out
+
+    resumed = subprocess.run(
+        _train_cmd(ckpt, steps=3, resume=True),
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=500,
+    )
+    assert resumed.returncode == 0, resumed.stdout[-2000:] + resumed.stderr[-2000:]
