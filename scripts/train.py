@@ -213,7 +213,8 @@ def main(config: _config.TrainConfig) -> None:
 
     # Graceful preemption: on SIGTERM (the TPU-VM eviction signal) finish the
     # in-flight step, save a checkpoint, and exit 0 so the resumed run loses
-    # no work.
+    # no work. TPU maintenance events signal every host of a slice, so the
+    # per-host flag reaches the (barriered) save on all hosts together.
     import signal
     import threading
 
