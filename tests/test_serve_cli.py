@@ -1,0 +1,79 @@
+"""serve_policy.py CLI surface: boot the DEBUG preset as a real subprocess
+and drive it over the websocket client (metadata + inference + recorder)."""
+
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    "LAP_TPU_MESH_PLATFORM": "cpu",
+}
+ENV.pop("PALLAS_AXON_POOL_IPS", None)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_serve_policy_cli_debug(tmp_path):
+    from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
+
+    port = _free_port()
+    record = tmp_path / "rec"
+    proc = subprocess.Popen(
+        [
+            sys.executable, "scripts/serve_policy.py",
+            "--env", "DEBUG", "--host", "127.0.0.1", "--port", str(port),
+            "--record_dir", str(record),
+            "--default_prompt", "pick up the block",
+        ],
+        cwd=REPO, env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        client = None
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(f"server died:\n{proc.stdout.read()[-3000:]}")
+            try:
+                client = WebsocketClientPolicy(host="127.0.0.1", port=port)
+                break
+            except Exception:  # noqa: BLE001 - still booting
+                time.sleep(1.0)
+        assert client is not None, "server never became reachable"
+        meta = client.get_server_metadata()
+        assert meta.get("config") == "debug"
+
+        rng = np.random.default_rng(0)
+        obs = {
+            "observation": {
+                "base_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
+                "left_wrist_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
+                "state": np.zeros(7, np.float32),
+            },
+            "prompt": "pick up the cup",
+        }
+        result = client.infer(obs)
+        assert np.isfinite(result["actions"]).all()
+        assert result["policy_timing"]["infer_ms"] > 0
+        client.close()
+        # The recorder wrote the request/response pair.
+        time.sleep(0.5)
+        assert record.exists() and any(record.iterdir())
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
