@@ -81,10 +81,23 @@ def quat_to_euler(quat: np.ndarray, *, scalar_first: bool = False) -> np.ndarray
 
 
 def euler_to_quat(euler: np.ndarray, *, scalar_first: bool = False) -> np.ndarray:
-    from scipy.spatial.transform import Rotation as R
+    """Euler -> quaternion, replicating the reference's exact half-angle
+    formula (rotation_utils.py:168-191).
 
-    mat = euler_to_matrix(euler)
-    quat = R.from_matrix(mat.reshape(-1, 3, 3)).as_quat().reshape(*np.shape(euler)[:-1], 4)
+    NOTE: the reference composes half-angles in INTRINSIC XYZ order here
+    (qw = cx*cy*cz - sx*sy*sz), which is inconsistent with its own
+    euler_to_rotation_matrix (extrinsic XYZ).  Data/checkpoint parity
+    requires matching its actual behavior, not its docstring."""
+    euler = np.asarray(euler, dtype=np.float64)
+    rx, ry, rz = euler[..., 0], euler[..., 1], euler[..., 2]
+    cx, sx = np.cos(rx * 0.5), np.sin(rx * 0.5)
+    cy, sy = np.cos(ry * 0.5), np.sin(ry * 0.5)
+    cz, sz = np.cos(rz * 0.5), np.sin(rz * 0.5)
+    qw = cx * cy * cz - sx * sy * sz
+    qx = sx * cy * cz + cx * sy * sz
+    qy = cx * sy * cz - sx * cy * sz
+    qz = cx * cy * sz + sx * sy * cz
+    quat = np.stack([qx, qy, qz, qw], axis=-1)
     if scalar_first:
         quat = np.concatenate([quat[..., 3:], quat[..., :3]], axis=-1)
     return quat
@@ -108,25 +121,53 @@ def zxy_to_xyz(angles: np.ndarray) -> np.ndarray:
     return matrix_to_euler(mats.reshape(*a.shape[:-1], 3, 3))
 
 
-def axis_angle_to_r6(axis_angle: np.ndarray) -> np.ndarray:
-    """Axis-angle -> first two rotation-matrix rows
-    (reference transforms.py:66-100)."""
+def matrix_to_r6_rows(rot: np.ndarray) -> np.ndarray:
+    """First two ROWS: [r00 r01 r02 r10 r11 r12].
+
+    The reference carries two R6 conventions: transforms.py:38-100 uses
+    rows (sample_r1_lite / agibot standardization), rotation_utils.py:303
+    uses columns (the R6 state encoding).  Keep both, explicitly."""
+    rot = np.asarray(rot)
+    return np.concatenate([rot[..., 0, :], rot[..., 1, :]], axis=-1)
+
+
+def _axis_angle_to_matrix(axis_angle: np.ndarray) -> np.ndarray:
     from scipy.spatial.transform import Rotation as R
 
     aa = np.asarray(axis_angle, dtype=np.float64)
-    mat = R.from_rotvec(aa.reshape(-1, 3)).as_matrix().reshape(*aa.shape[:-1], 3, 3)
-    return matrix_to_r6(mat)
+    return R.from_rotvec(aa.reshape(-1, 3)).as_matrix().reshape(*aa.shape[:-1], 3, 3)
 
 
-def quat_wxyz_to_r6(quat: np.ndarray) -> np.ndarray:
-    """wxyz quaternion -> first two rotation-matrix rows
-    (reference transforms.py:38-63)."""
+def axis_angle_to_r6(axis_angle: np.ndarray) -> np.ndarray:
+    """Axis-angle -> first two rotation-matrix ROWS
+    (reference transforms.py:66-100; used by sample_r1_lite)."""
+    return matrix_to_r6_rows(_axis_angle_to_matrix(axis_angle))
+
+
+def axis_angle_to_r6_cols(axis_angle: np.ndarray) -> np.ndarray:
+    """Axis-angle -> first two rotation-matrix COLUMNS
+    (reference rotation_utils.py:542-559)."""
+    return matrix_to_r6(_axis_angle_to_matrix(axis_angle))
+
+
+def _wxyz_to_matrix(quat: np.ndarray) -> np.ndarray:
     from scipy.spatial.transform import Rotation as R
 
     q = np.asarray(quat, dtype=np.float64)
     xyzw = np.concatenate([q[..., 1:4], q[..., 0:1]], axis=-1)
-    mat = R.from_quat(xyzw.reshape(-1, 4)).as_matrix().reshape(*q.shape[:-1], 3, 3)
-    return matrix_to_r6(mat)
+    return R.from_quat(xyzw.reshape(-1, 4)).as_matrix().reshape(*q.shape[:-1], 3, 3)
+
+
+def quat_wxyz_to_r6(quat: np.ndarray) -> np.ndarray:
+    """wxyz quaternion -> first two rotation-matrix ROWS
+    (reference transforms.py:38-63; used by sample_r1_lite)."""
+    return matrix_to_r6_rows(_wxyz_to_matrix(quat))
+
+
+def quat_wxyz_to_r6_cols(quat: np.ndarray) -> np.ndarray:
+    """wxyz quaternion -> first two rotation-matrix COLUMNS
+    (reference rotation_utils.py:593-607)."""
+    return matrix_to_r6(_wxyz_to_matrix(quat))
 
 
 def matrix_state_to_xyzrpy(mat: np.ndarray) -> np.ndarray:
@@ -171,19 +212,30 @@ def sum_actions(actions: np.ndarray, valid_lengths: np.ndarray | None = None) ->
 
 
 def gather_with_padding(
-    data: np.ndarray, window_size: int, *, last_value_padding: bool = False
+    data: np.ndarray,
+    window_size: int,
+    *,
+    per_timestep_windows: np.ndarray | None = None,
+    last_value_padding: bool = False,
 ) -> np.ndarray:
     """[T, A] -> [T, W, A] sliding windows; pad past the end with zeros or the
-    final value (reference tfdata_pipeline.py:18-111)."""
+    final value; optional per-timestep window limits
+    (reference tfdata_pipeline.py:18-111)."""
     data = np.asarray(data)
     t = data.shape[0]
-    idx = np.arange(t)[:, None] + np.arange(window_size)[None, :]
+    base = np.broadcast_to(np.arange(window_size)[None, :], (t, window_size))
+    if last_value_padding:
+        # repeat the last valid value instead of zero-padding
+        if per_timestep_windows is not None:
+            base = np.minimum(base, np.asarray(per_timestep_windows).reshape(t, 1) - 1)
+        idx = base + np.arange(t)[:, None]
+        return data[np.minimum(idx, t - 1)]
+    idx = base + np.arange(t)[:, None]
     valid = idx < t
-    idx_clipped = np.minimum(idx, t - 1)
-    out = data[idx_clipped]
-    if not last_value_padding:
-        out = np.where(valid[..., None], out, 0.0)
-    return out
+    if per_timestep_windows is not None:
+        valid = valid & (base < np.asarray(per_timestep_windows).reshape(t, 1))
+    out = data[np.minimum(idx, t - 1)]
+    return np.where(valid[..., None], out, 0.0)
 
 
 # Per-dataset coordinate-frame corrections (reference rotation_utils.py:382-444):

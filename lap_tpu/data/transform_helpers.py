@@ -36,12 +36,29 @@ def binarize_gripper_actions(actions: np.ndarray, threshold: float = 0.95) -> np
     in_between = ~(open_mask | closed_mask)
     is_open = open_mask.astype(np.float32)
     out = np.empty_like(is_open)
-    carry = is_open[-1]
+    # reference transform_helpers.py:133-161: the reverse scan starts from the
+    # RAW last value, so a trailing in-between run passes it through unchanged
+    carry = actions[-1]
     for i in range(len(actions) - 1, -1, -1):
         if not in_between[i]:
             carry = is_open[i]
         out[i] = carry
     return out
+
+
+def rescale_action_with_bound(
+    actions: np.ndarray,
+    low: float,
+    high: float,
+    safety_margin: float = 0.0,
+    post_scaling_max: float = 1.0,
+    post_scaling_min: float = -1.0,
+) -> np.ndarray:
+    """Affine rescale [low, high] -> [post_min, post_max], clipped with a
+    safety margin (reference transform_helpers.py:328-356)."""
+    actions = np.asarray(actions, dtype=np.float32)
+    out = (actions - low) / (high - low) * (post_scaling_max - post_scaling_min) + post_scaling_min
+    return np.clip(out, post_scaling_min + safety_margin, post_scaling_max - safety_margin)
 
 
 def rel2abs_gripper_actions(actions: np.ndarray) -> np.ndarray:

@@ -509,7 +509,8 @@ def _matrix_state_transform(episode: dict, *, gripper_scale: float = 0.079) -> d
     steps = _steps(episode)
     obs = steps["observation"]
     state = np.asarray(obs["state"], np.float32)
-    mats = state[:, -16:].reshape(-1, 4, 4)
+    # column-major flattened 4x4 -> row-major (ref transform_helpers.py:56-82)
+    mats = np.swapaxes(state[:, -16:].reshape(-1, 4, 4), -1, -2)
     eef = rotation.matrix_state_to_xyzrpy(mats).astype(np.float32)
     grip_state = np.clip(state[:, 7:8] / gripper_scale, 0, 1)
     action = np.asarray(steps["action"], np.float32)
@@ -595,7 +596,9 @@ def dobbe_dataset_transform(episode: dict) -> dict:
     eef = rotation.coordinate_transform_dobbe(state[:, :6]).astype(np.float32)
     grip_state = np.clip(state[:, -1:], 0, 1)
     action = np.asarray(steps["action"], np.float32)
-    grip = np.clip(action[:, -1:], 0, 1)
+    # reference transforms.py:1369-1394 keeps the raw (unclipped) gripper
+    # action in both the action tail and the language action
+    grip = action[:, -1:]
     return _canonical(
         base_imgs=obs.get("wrist_image", obs.get("image")),
         wrist_imgs=None,
@@ -603,26 +606,33 @@ def dobbe_dataset_transform(episode: dict) -> dict:
         gripper_state=grip_state,
         action=np.concatenate([eef, grip], axis=-1),
         gripper_action=grip,
+        language_action=np.concatenate(
+            [compute_padded_movement_actions(eef), grip], axis=-1
+        ),
         instructions=_instructions(steps),
     )
 
 
 @register_dataset("cmu_stretch", control_frequency=10.0)
 def cmu_stretch_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:1284-1309: eef = xyz + zero rpy; the gripper
+    joint angle (radians) maps to [0,1] via (g + pi) / 2pi and doubles as the
+    gripper action."""
     steps = _steps(episode)
     obs = steps["observation"]
     state = np.asarray(obs["state"], np.float32)
-    eef = state[:, :6]
-    grip_state = np.clip(state[:, -1:], 0, 1)
-    action = np.asarray(steps["action"], np.float32)
-    grip = np.clip(action[:, -1:], 0, 1)
+    eef = np.concatenate([state[:, :3], np.zeros_like(state[:, :3])], axis=-1)
+    grip_state = (state[:, -1:] + 3.14) / 6.28
     return _canonical(
         base_imgs=obs.get("image"),
         wrist_imgs=None,
         eef_state=eef,
         gripper_state=grip_state,
-        action=np.concatenate([eef, grip], axis=-1),
-        gripper_action=grip,
+        action=np.concatenate([eef, grip_state], axis=-1),
+        gripper_action=grip_state,
+        language_action=np.concatenate(
+            [compute_padded_movement_actions(eef), grip_state], axis=-1
+        ),
         instructions=_instructions(steps),
     )
 

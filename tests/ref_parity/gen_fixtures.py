@@ -1,0 +1,622 @@
+#!/usr/bin/env python
+"""Generate golden parity fixtures by RUNNING the reference TF data plane.
+
+The reference implementation (lihzha/lap) keeps its standardization /
+rotation / gripper logic in pure TF+numpy modules that import cleanly
+without the rest of its stack:
+
+    lap/datasets/utils/rotation_utils.py       (euler/quat/R6 algebra)
+    lap/datasets/utils/transform_helpers.py    (gripper scans, matrix state)
+    lap/datasets/utils/transforms.py           (per-dataset standardization)
+    lap/datasets/utils/tfdata_pipeline.py      (gather_with_padding)
+    lap/datasets/base_dataset.py               (sum_actions; AST-extracted)
+
+This script fabricates deterministic inputs, runs the REFERENCE functions
+on them, and dumps .npz goldens under tests/golden/ref_parity/.  The
+committed fixtures are then asserted against the numpy re-implementations
+by tests/test_ref_parity.py, turning "ported by specification" into
+"proven against the reference binary-for-binary".
+
+Run (only needed to regenerate; fixtures are committed):
+
+    python tests/ref_parity/gen_fixtures.py
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference/src"
+OUT = pathlib.Path(__file__).resolve().parents[1] / "golden" / "ref_parity"
+
+# -- Import the reference leaf modules without executing lap/__init__
+# (which drags in dlimp / tfds / numpydantic, absent in this image).
+sys.path.insert(0, REF)
+for _name, _path in [
+    ("lap", REF + "/lap"),
+    ("lap.datasets", REF + "/lap/datasets"),
+    ("lap.datasets.utils", REF + "/lap/datasets/utils"),
+]:
+    _m = types.ModuleType(_name)
+    _m.__path__ = [_path]
+    sys.modules[_name] = _m
+
+import tensorflow as tf  # noqa: E402
+
+# -- Minimal tensorflow_graphics stub. The reference lazily imports
+# tft.rotation_matrix_3d.{from_axis_angle,from_quaternion} inside its
+# axis-angle/wxyz helpers; those kernels are standard textbook math
+# (Rodrigues / quaternion-to-matrix), so a faithful stub lets us run the
+# reference's OWN wrapper logic (safe-angle handling, euler extraction
+# formulas) without the package.
+
+
+def _stub_from_axis_angle(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    angle = np.asarray(angle, np.float64)[..., 0]
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    c, s = np.cos(angle), np.sin(angle)
+    C = 1 - c
+    m = np.stack(
+        [
+            np.stack([c + x * x * C, x * y * C - z * s, x * z * C + y * s], -1),
+            np.stack([y * x * C + z * s, c + y * y * C, y * z * C - x * s], -1),
+            np.stack([z * x * C - y * s, z * y * C + x * s, c + z * z * C], -1),
+        ],
+        -2,
+    )
+    return tf.constant(m.astype(np.float32))
+
+
+def _stub_from_quaternion(q):
+    q = np.asarray(q, np.float64)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    n = x * x + y * y + z * z + w * w
+    s = np.where(n > 0, 2.0 / n, 0.0)
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    m = np.stack(
+        [
+            np.stack([1 - (yy + zz), xy - wz, xz + wy], -1),
+            np.stack([xy + wz, 1 - (xx + zz), yz - wx], -1),
+            np.stack([xz - wy, yz + wx, 1 - (xx + yy)], -1),
+        ],
+        -2,
+    )
+    return tf.constant(m.astype(np.float32))
+
+
+_tfg = types.ModuleType("tensorflow_graphics")
+_tfg_geom = types.ModuleType("tensorflow_graphics.geometry")
+_tfg_tr = types.ModuleType("tensorflow_graphics.geometry.transformation")
+_rm3 = types.SimpleNamespace(
+    from_axis_angle=_stub_from_axis_angle, from_quaternion=_stub_from_quaternion
+)
+_tfg_tr.rotation_matrix_3d = _rm3
+_tfg_geom.transformation = _tfg_tr
+_tfg.geometry = _tfg_geom
+sys.modules["tensorflow_graphics"] = _tfg
+sys.modules["tensorflow_graphics.geometry"] = _tfg_geom
+sys.modules["tensorflow_graphics.geometry.transformation"] = _tfg_tr
+
+from lap.datasets.utils import rotation_utils as RU  # noqa: E402
+from lap.datasets.utils import transform_helpers as TH  # noqa: E402
+from lap.datasets.utils import transforms as TR  # noqa: E402
+from lap.datasets.utils.tfdata_pipeline import gather_with_padding  # noqa: E402
+from lap.datasets.utils.tfdata_pipeline import gather_with_last_value_padding  # noqa: E402
+
+SEP = "|"  # npz key path separator ('/' appears inside raw feature names)
+
+
+def _extract_base_dataset_fns():
+    """AST-extract sum_actions (+ its euler helper) from base_dataset.py.
+
+    base_dataset.py itself imports dlimp/tfds, so pull just the two pure
+    functions out of its source (ref base_dataset.py:702-777).
+    """
+    src = pathlib.Path(REF, "lap/datasets/base_dataset.py").read_text()
+    tree = ast.parse(src)
+    wanted = {"sum_actions", "_matrix_to_euler_xyz_extrinsic"}
+    mod = ast.Module(
+        body=[n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name in wanted],
+        type_ignores=[],
+    )
+    ns = {"tf": tf, "_R_from_euler_xyz": RU.euler_to_rotation_matrix, "np": np}
+    exec(compile(mod, "base_dataset_extract", "exec"), ns)  # noqa: S102
+    assert wanted <= set(ns), f"extraction failed: {set(ns) & wanted}"
+    return ns["sum_actions"]
+
+
+def _np(x):
+    if isinstance(x, tf.Tensor):
+        return x.numpy()
+    return np.asarray(x)
+
+
+def _to_tf(obj):
+    if isinstance(obj, dict):
+        return {k: _to_tf(v) for k, v in obj.items()}
+    if isinstance(obj, list) and obj and isinstance(obj[0], str):
+        return tf.constant(obj)
+    return tf.constant(obj)
+
+
+def _flatten(prefix: str, obj, out: dict):
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _flatten(f"{prefix}{SEP}{k}", v, out)
+    else:
+        arr = _np(obj)
+        out[prefix] = arr
+
+
+# ---------------------------------------------------------------------------
+# Suite 1: rotation algebra
+# ---------------------------------------------------------------------------
+
+
+def gen_rotation_suite():
+    rng = np.random.default_rng(20260816)
+    n = 64
+    eulers = rng.uniform(-np.pi, np.pi, size=(n, 3)).astype(np.float32)
+    # gimbal-lock rows: pitch = +/- pi/2 exactly, plus near-singular
+    eulers[0] = [0.3, np.pi / 2, 0.7]
+    eulers[1] = [-0.4, -np.pi / 2, 1.1]
+    eulers[2] = [0.2, np.pi / 2 - 1e-7, -0.5]
+    eulers[3] = [0.0, 0.0, 0.0]
+
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+
+    mats = _np(RU.euler_to_rotation_matrix(tf.constant(eulers)))
+
+    r6 = rng.normal(size=(n, 6)).astype(np.float32)
+    r6_valid = _np(RU.rotation_matrix_to_r6(tf.constant(mats)))
+
+    aa = rng.normal(size=(n, 3)).astype(np.float32)
+    aa[0] = [1e-9, 0, 0]  # near-zero rotation
+    aa[1] = [0, 0, 0]  # exactly zero
+
+    zxy = rng.uniform(-np.pi, np.pi, size=(n, 3)).astype(np.float32)
+
+    # homogeneous transforms for matrix_to_xyzrpy
+    T = np.zeros((n, 4, 4), np.float32)
+    T[:, :3, :3] = mats
+    T[:, :3, 3] = rng.normal(size=(n, 3))
+    T[:, 3, 3] = 1.0
+
+    movement = rng.normal(size=(n, 6)).astype(np.float32) * 0.3
+
+    out = {
+        "in_eulers": eulers,
+        "in_quats_xyzw": quats,
+        "in_mats": mats,
+        "in_r6_raw": r6,
+        "in_r6_valid": r6_valid,
+        "in_axis_angle": aa,
+        "in_zxy": zxy,
+        "in_T": T,
+        "in_movement": movement,
+        "euler_to_rotation_matrix": _np(RU.euler_to_rotation_matrix(tf.constant(eulers))),
+        "rotation_matrix_to_euler": _np(RU.rotation_matrix_to_euler(tf.constant(mats))),
+        "euler_to_quaternion": _np(RU.euler_to_quaternion(tf.constant(eulers))),
+        "quaternion_to_euler": _np(RU.quaternion_to_euler(tf.constant(quats))),
+        "quaternion_to_rotation_matrix": _np(RU.quaternion_to_rotation_matrix(tf.constant(quats))),
+        "rotation_matrix_to_quaternion": _np(RU.rotation_matrix_to_quaternion(tf.constant(mats))),
+        "rotation_matrix_to_r6": _np(RU.rotation_matrix_to_r6(tf.constant(mats))),
+        "r6_to_rotation_matrix_raw": _np(RU.r6_to_rotation_matrix(tf.constant(r6))),
+        "r6_to_rotation_matrix_valid": _np(RU.r6_to_rotation_matrix(tf.constant(r6_valid))),
+        "euler_to_r6": _np(RU.euler_to_r6(tf.constant(eulers))),
+        "r6_to_euler": _np(RU.r6_to_euler(tf.constant(r6_valid))),
+        "axis_angle_to_r6": _np(TR.axis_angle_to_r6(tf.constant(aa))),
+        "axis_angle_to_r6_cols": _np(RU.axis_angle_to_r6(tf.constant(aa))),
+        "wxyz_to_r6_cols": _np(RU.wxyz_to_r6(tf.constant(np.roll(quats, 1, axis=-1)))),
+        "axis_angle_to_euler_rot": _np(RU.axis_angle_to_euler(tf.constant(aa))),
+        "axis_angle_to_extrinsic_xyz_euler": _np(TR.axis_angle_to_extrinsic_xyz_euler(tf.constant(aa))),
+        "wxyz_to_r6": _np(TR.wxyz_to_r6(tf.constant(np.roll(quats, 1, axis=-1)))),
+        "zxy_to_xyz": _np(RU.zxy_to_xyz(tf.constant(zxy))),
+        "matrix_to_xyzrpy": _np(RU.matrix_to_xyzrpy(tf.constant(T))),
+        "euler_diff": _np(RU.euler_diff(tf.constant(eulers), tf.constant(eulers[::-1].copy()))),
+        "coordinate_transform_bcz": _np(RU.coordinate_transform_bcz(tf.constant(movement))),
+        "coordinate_transform_dobbe": _np(RU.coordinate_transform_dobbe(tf.constant(movement))),
+        "coordinate_transform_jaco": _np(RU.coordinate_transform_jaco(tf.constant(movement))),
+    }
+    np.savez(OUT / "rotation.npz", **out)
+    print(f"rotation.npz: {len(out)} arrays")
+
+
+# ---------------------------------------------------------------------------
+# Suite 2: gripper scans + movement helpers
+# ---------------------------------------------------------------------------
+
+
+def gen_helpers_suite():
+    rng = np.random.default_rng(5150)
+    # gripper sequences exercising every branch: intermediate runs at the
+    # start / middle / end, fully in-between, monotone, constant
+    seqs = {
+        "mixed": np.array([0.97, 0.5, 0.02, 0.4, 0.99, 0.6, 0.6], np.float32),
+        "trailing_between": np.array([0.99, 0.01, 0.5, 0.6], np.float32),
+        "leading_between": np.array([0.5, 0.5, 0.99, 0.01], np.float32),
+        "all_between": np.array([0.5, 0.4, 0.6], np.float32),
+        "random": rng.uniform(0, 1, size=32).astype(np.float32),
+        "binary": np.array([1.0, 1.0, 0.0, 0.0, 1.0], np.float32),
+    }
+    rel_seqs = {
+        "no_rel": np.zeros(5, np.float32),
+        "close_then_open": np.array([0.0, 0.9, 0.0, -0.8, 0.0], np.float32),
+        "open_first": np.array([-0.5, 0.0, 0.7, 0.0], np.float32),
+        "random": rng.uniform(-1, 1, size=32).astype(np.float32),
+        "tiny": np.array([0.05, -0.05, 0.0], np.float32),  # all under |0.1| deadband
+    }
+    eef = rng.normal(size=(12, 6)).astype(np.float32)
+    eef[:, 3:6] = rng.uniform(-np.pi, np.pi, size=(12, 3))
+
+    acts = rng.uniform(-2, 2, size=(4, 7)).astype(np.float32)
+
+    out = {"in_eef": eef, "in_rescale": acts}
+    for name, s in seqs.items():
+        out[f"in_binarize_{name}"] = s
+        out[f"binarize95_{name}"] = _np(TH.binarize_gripper_actions(tf.constant(s), threshold=0.95))
+        out[f"binarize50_{name}"] = _np(TH.binarize_gripper_actions(tf.constant(s), threshold=0.5))
+    for name, s in rel_seqs.items():
+        out[f"in_rel2abs_{name}"] = s
+        out[f"rel2abs_{name}"] = _np(TH.rel2abs_gripper_actions(tf.constant(s)))
+    out["compute_padded_movement_actions"] = _np(
+        TH.compute_padded_movement_actions(tf.constant(eef))
+    )
+    out["invert"] = _np(TH.invert_gripper_actions(tf.constant(seqs["random"])))
+    out["rescale_with_bound"] = _np(
+        TH.rescale_action_with_bound(
+            tf.constant(acts), low=-1.5, high=1.5, safety_margin=0.01,
+            post_scaling_max=1.75, post_scaling_min=-1.75,
+        )
+    )
+    # extract_state_from_matrix: fabricate valid column-major flattened mats
+    eul = rng.uniform(-np.pi, np.pi, size=(8, 3))
+    eul[:, 1] = rng.uniform(-1.4, 1.4, size=8)
+    R = _np(RU.euler_to_rotation_matrix(tf.constant(eul.astype(np.float32))))
+    M = np.zeros((8, 4, 4), np.float32)
+    M[:, :3, :3] = R
+    M[:, :3, 3] = rng.normal(size=(8, 3))
+    M[:, 3, 3] = 1
+    flat_colmajor = M.transpose(0, 2, 1).reshape(8, 16)
+    grip = rng.uniform(0, 0.1, size=(8, 1)).astype(np.float32)
+    out["in_matrix_flat"] = flat_colmajor
+    out["in_matrix_grip"] = grip
+    out["extract_state_from_matrix"] = _np(
+        TH.extract_state_from_matrix(tf.constant(flat_colmajor), tf.constant(grip), 0.079)
+    )
+    np.savez(OUT / "helpers.npz", **out)
+    print(f"helpers.npz: {len(out)} arrays")
+
+
+# ---------------------------------------------------------------------------
+# Suite 3: language-action windowing + variable-horizon summation
+# ---------------------------------------------------------------------------
+
+
+def gen_langact_suite(sum_actions):
+    rng = np.random.default_rng(777)
+    t, w, a = 11, 5, 7
+    # realistic deltas: small translations, moderate rotations, 0/1 gripper
+    data = np.zeros((t, a), np.float32)
+    data[:, :3] = rng.normal(size=(t, 3)) * 0.02
+    data[:, 3:6] = rng.normal(size=(t, 3)) * 0.2
+    data[:, 6] = (rng.uniform(size=t) > 0.5).astype(np.float32)
+    per_ts = rng.integers(1, w + 1, size=t).astype(np.int32)
+
+    windows_fixed = _np(gather_with_padding(tf.constant(data), tf.constant(t), w))
+    windows_var = _np(
+        gather_with_padding(tf.constant(data), tf.constant(t), w, tf.constant(per_ts))
+    )
+    windows_last = _np(gather_with_last_value_padding(tf.constant(data), tf.constant(t), w))
+
+    # sum_actions over fabricated windows incl. big rotations (composition !=
+    # addition) and the valid_lengths clamp
+    win = np.zeros((6, 4, 7), np.float32)
+    win[..., :3] = rng.normal(size=(6, 4, 3)) * 0.05
+    win[..., 3:6] = rng.uniform(-1.2, 1.2, size=(6, 4, 3))
+    win[..., 6] = rng.uniform(0, 1, size=(6, 4))
+    valid = np.array([1, 2, 3, 4, 9, 0], np.int32)  # 9 -> clamp to 4, 0 -> clamp to 1
+
+    out = {
+        "in_data": data,
+        "in_per_ts": per_ts,
+        "in_win": win,
+        "in_valid": valid,
+        "gather_fixed": windows_fixed,
+        "gather_var": windows_var,
+        "gather_last_value": windows_last,
+        "sum_actions_novalid": _np(sum_actions(tf.constant(win))),
+        "sum_actions_valid": _np(sum_actions(tf.constant(win), tf.constant(valid))),
+        "sum_actions_windows_var": _np(
+            sum_actions(tf.constant(windows_var), tf.constant(np.minimum(per_ts, t - np.arange(t))))
+        ),
+    }
+    np.savez(OUT / "langact.npz", **out)
+    print(f"langact.npz: {len(out)} arrays")
+
+
+# ---------------------------------------------------------------------------
+# Suite 4: per-dataset standardization transforms
+# ---------------------------------------------------------------------------
+
+
+def _mk_instr(t, text="pick up the red block"):
+    return [text] * t
+
+
+def gen_dataset_suite():
+    rng = np.random.default_rng(424242)
+    t = 9
+
+    def eefs():
+        e = np.zeros((t, 6), np.float32)
+        e[:, :3] = rng.normal(size=(t, 3)) * 0.3
+        e[:, 3:6] = rng.uniform(-np.pi, np.pi, size=(t, 3))
+        return e
+
+    specs = {}
+
+    # --- libero (ref transforms.py:1453-1481)
+    st = np.zeros((t, 8), np.float32)
+    st[:, :3] = rng.normal(size=(t, 3)) * 0.3
+    st[:, 3:6] = rng.normal(size=(t, 3))  # axis-angle
+    st[:, 6] = rng.uniform(0, 0.04, size=t)  # gripper joint 1
+    st[:, 7] = -st[:, 6]
+    specs["libero"] = (
+        TR.libero_dataset_transform,
+        {
+            "observation": {"state": st},
+            "action": rng.uniform(-1, 1, size=(t, 7)).astype(np.float32),
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}state"],
+    )
+
+    # --- droid (ref transforms.py:757-791)
+    cart = eefs()
+    specs["droid"] = (
+        TR.droid_dataset_transform,
+        {
+            "observation": {
+                "cartesian_position": cart,
+                "gripper_position": rng.uniform(0, 1, size=(t, 1)).astype(np.float32),
+            },
+            "action_dict": {"gripper_position": rng.uniform(0, 1, size=(t, 1)).astype(np.float32)},
+            "action": rng.normal(size=(t, 7)).astype(np.float32),
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", "state"],
+    )
+
+    # --- bridge_v2_oxe (ref transforms.py:174-242)
+    bstate = np.concatenate([eefs(), rng.uniform(0, 1, size=(t, 1)).astype(np.float32)], -1)
+    bact = rng.normal(size=(t, 7)).astype(np.float32)
+    bact[:, 6] = rng.uniform(0, 1, size=t)
+    specs["bridge_v2_oxe"] = (
+        TR.bridge_v2_oxe_dataset_transform,
+        {
+            "observation": {"state": bstate},
+            "action": bact,
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}EEF_state", f"observation{SEP}gripper_state"],
+    )
+
+    # --- taco_play (ref transforms.py:397-436)
+    specs["taco_play"] = (
+        TR.taco_play_dataset_transform,
+        {
+            "observation": {
+                "robot_obs": rng.normal(size=(t, 15)).astype(np.float32),
+                "natural_language_instruction": _mk_instr(t),
+            },
+            "action": {"rel_actions_world": rng.uniform(-1, 1, size=(t, 7)).astype(np.float32)},
+        },
+        ["action", "language_action", f"observation{SEP}state_eef", f"observation{SEP}state_gripper"],
+    )
+
+    # --- jaco_play (ref transforms.py:437-477)
+    specs["jaco_play"] = (
+        TR.jaco_play_dataset_transform,
+        {
+            "observation": {
+                "end_effector_cartesian_pos": np.concatenate(
+                    [eefs(), rng.uniform(0, 0.25, size=(t, 1)).astype(np.float32)], -1
+                ),
+                "natural_language_instruction": _mk_instr(t),
+            },
+            "action": {
+                "gripper_closedness_action": rng.choice(
+                    [-0.9, 0.0, 0.9], size=(t, 1)
+                ).astype(np.float32),
+                "world_vector": rng.normal(size=(t, 3)).astype(np.float32) * 0.05,
+            },
+        },
+        ["action", "language_action", f"observation{SEP}state_eef", f"observation{SEP}state_gripper"],
+    )
+
+    # --- viola (ref transforms.py:534-577)
+    eul = rng.uniform(-np.pi, np.pi, size=(t, 3))
+    eul[:, 1] = rng.uniform(-1.4, 1.4, size=t)
+    R = _np(RU.euler_to_rotation_matrix(tf.constant(eul.astype(np.float32))))
+    M = np.zeros((t, 4, 4), np.float32)
+    M[:, :3, :3] = R
+    M[:, :3, 3] = rng.normal(size=(t, 3))
+    M[:, 3, 3] = 1
+    specs["viola"] = (
+        TR.viola_dataset_transform,
+        {
+            "observation": {
+                "ee_states": M.transpose(0, 2, 1).reshape(t, 16),
+                "gripper_states": rng.uniform(0, 0.079, size=(t, 1)).astype(np.float32),
+                "natural_language_instruction": _mk_instr(t),
+            },
+            "action": {
+                "gripper_closedness_action": rng.choice([0.0, 1.0], size=t).astype(np.float32)
+            },
+        },
+        ["action", "language_action", f"observation{SEP}state"],
+    )
+
+    # --- stanford_hydra (ref transforms.py:692-714)
+    hst = rng.normal(size=(t, 13)).astype(np.float32)
+    hst[:, -3] = rng.uniform(0, 1, size=t)
+    specs["stanford_hydra"] = (
+        TR.stanford_hydra_dataset_transform,
+        {
+            "observation": {"state": hst},
+            "action": rng.uniform(-1, 1, size=(t, 7)).astype(np.float32),
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", f"observation{SEP}eef_state", f"observation{SEP}gripper_state"],
+    )
+
+    # --- austin_buds (ref transforms.py:716-731; build_matrix_state_transform)
+    astate = np.zeros((t, 24), np.float32)
+    astate[:, :8] = rng.normal(size=(t, 8))
+    astate[:, 7] = rng.uniform(0, 0.079, size=t)  # gripper joint
+    astate[:, -16:] = M.transpose(0, 2, 1).reshape(t, 16)
+    aact = rng.uniform(-1, 1, size=(t, 8)).astype(np.float32)
+    specs["austin_buds"] = (
+        TR.austin_buds_dataset_transform,
+        {
+            "observation": {"state": astate},
+            "action": aact,
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}state"],
+    )
+
+    # --- bc_z (ref transforms.py:923-966)
+    specs["bc_z"] = (
+        TR.bc_z_dataset_transform,
+        {
+            "observation": {
+                "present/xyz": rng.normal(size=(t, 3)).astype(np.float32) * 0.4,
+                "present/axis_angle": rng.normal(size=(t, 3)).astype(np.float32),
+                "present/sensed_close": rng.uniform(0, 1, size=(t, 1)).astype(np.float32),
+                "natural_language_instruction": _mk_instr(t),
+            },
+            "action": {
+                "future/xyz_residual": rng.normal(size=(t, 3)).astype(np.float32) * 0.02,
+                "future/axis_angle_residual": rng.normal(size=(t, 3)).astype(np.float32) * 0.1,
+                "future/target_close": rng.choice([0.0, 1.0], size=(t, 1)).astype(np.float32),
+            },
+        },
+        ["action", "language_action", f"observation{SEP}state"],
+    )
+
+    # --- dobbe (ref transforms.py:1369-1394)
+    dstate = np.concatenate([eefs(), rng.uniform(0, 1, size=(t, 1)).astype(np.float32)], -1)
+    dact = rng.normal(size=(t, 7)).astype(np.float32)
+    specs["dobbe"] = (
+        TR.dobbe_dataset_transform,
+        {
+            "observation": {"state": dstate},
+            "action": dact,
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}proprio"],
+    )
+
+    # --- cmu_stretch (ref transforms.py:1284-1310)
+    cstate = np.zeros((t, 4), np.float32)
+    cstate[:, :3] = rng.normal(size=(t, 3)) * 0.3
+    cstate[:, 3] = rng.uniform(-np.pi, np.pi, size=t)
+    specs["cmu_stretch"] = (
+        TR.cmu_stretch_dataset_transform,
+        {
+            "observation": {"state": cstate},
+            "action": rng.normal(size=(t, 8)).astype(np.float32),
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}eef_state", f"observation{SEP}gripper_state"],
+    )
+
+    # --- roboset (ref transforms.py:1397-1419)
+    rstate = rng.normal(size=(t, 8)).astype(np.float32)
+    ract = rng.uniform(-1, 1, size=(t, 8)).astype(np.float32)
+    specs["roboset"] = (
+        TR.roboset_dataset_transform,
+        {
+            "observation": {"state": rstate},
+            "action": ract,
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", f"observation{SEP}proprio"],
+    )
+
+    # --- rh20t (ref transforms.py:1422-1437)
+    specs["rh20t"] = (
+        TR.rh20t_dataset_transform,
+        {
+            "observation": {
+                "tcp_base": eefs(),
+                "gripper_width": rng.uniform(0, 0.1, size=t).astype(np.float32),
+            },
+            "action": {
+                "tcp_base": eefs(),
+                "gripper": rng.choice([0.0, 1.0], size=t).astype(np.float32),
+            },
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", f"observation{SEP}proprio"],
+    )
+
+    # --- tdroid (ref transforms.py:1440-1450)
+    tact = rng.normal(size=(t, 7)).astype(np.float32)
+    tact[:, 6] = rng.uniform(0, 1, size=t)
+    specs["tdroid"] = (
+        TR.tdroid_dataset_transform,
+        {
+            "observation": {
+                "cartesian_position": eefs(),
+                "gripper_position": rng.uniform(0, 1, size=(t, 1)).astype(np.float32),
+            },
+            "action": tact,
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", f"observation{SEP}EEF_state", f"observation{SEP}gripper_state"],
+    )
+
+    out = {}
+    for name, (fn, inputs, out_keys) in specs.items():
+        _flatten(f"{name}{SEP}in", inputs, out)
+        traj = _to_tf(inputs)
+        result = fn(traj)
+        flat = {}
+        _flatten(f"{name}{SEP}out", result, flat)
+        for key in out_keys:
+            full = f"{name}{SEP}out{SEP}{key}"
+            assert full in flat, f"{full} missing; have {sorted(flat)}"
+            out[full] = flat[full]
+        print(f"{name}: {[k.split(SEP)[-1] for k in out_keys]}")
+
+    # strings can't ride np.savez with allow_pickle=False as object arrays;
+    # language instructions are constant fillers, drop them
+    out = {k: v for k, v in out.items() if v.dtype.kind not in ("O", "U", "S")}
+    np.savez(OUT / "datasets.npz", **out)
+    print(f"datasets.npz: {len(out)} arrays")
+
+
+def main():
+    OUT.mkdir(parents=True, exist_ok=True)
+    sum_actions = _extract_base_dataset_fns()
+    gen_rotation_suite()
+    gen_helpers_suite()
+    gen_langact_suite(sum_actions)
+    gen_dataset_suite()
+    print("done:", sorted(p.name for p in OUT.iterdir()))
+
+
+if __name__ == "__main__":
+    main()
