@@ -1,16 +1,28 @@
 """Gemma3 checkpoint remapper.
 
 Capability parity with lihzha/lap ``weight_loaders.py:281-628``
-(Gemma3ScanCompatibleWeightLoader): loads an orbax export of Gemma3-IT
-weights whose transformer layers are stored per-layer (``layer_0``,
-``layer_1``, ...) and
+(Gemma3ScanCompatibleWeightLoader).  A raw Gemma3-IT orbax export stores
 
-- stacks per-layer arrays into the leading-depth axis nn.scan expects,
-- renames ``_key_norm -> k_rmsnorm`` / ``_query_norm -> q_rmsnorm``,
-- maps the SigLIP encoder block names into our flattened scan layout,
+    transformer/layer_N/attn/{q,kv,attn_vec}_einsum/w
+    transformer/layer_N/attn/{_key_norm,_query_norm}/scale
+    transformer/layer_N/mlp/{gating_einsum,linear}/w
+    transformer/layer_N/{pre,post}_{attention,ffw}_norm/scale
+    transformer/{final_norm/scale, embedder/input_embedding}
+    transformer/embedder/mm_input_projection/w        -> img/head/kernel
+    transformer/embedder/mm_soft_embedding_norm/scale -> img/mm_soft_embedding_norm/scale
+    SigLiPFromPatches_0/siglip_encoder/Transformer/encoderblock_N/...
+    SigLiPFromPatches_0/siglip_encoder/{embedding,pos_embedding,head,...}
+
+and this loader
+
+- stacks per-layer / per-encoderblock arrays into the leading-depth axis
+  nn.scan expects,
+- renames ``_key_norm -> k_rmsnorm`` / ``_query_norm -> q_rmsnorm`` and
+  drops the einsum ``/w`` nesting where our modules store bare arrays,
+- routes the multimodal projection into the SigLIP head,
 - bicubic-resizes the ViT position embeddings when the grid differs
   (e.g. 64x64 (896px) -> 16x16 (224px)),
-- verifies parameter-count conservation before merging.
+- verifies parameter-count conservation (no key maps twice) before merging.
 """
 
 from __future__ import annotations
@@ -26,41 +38,40 @@ from lap_tpu.training.weight_loaders import flatten, merge_params, restore_param
 
 logger = logging.getLogger(__name__)
 
-_RENAMES = (
-    ("_key_norm", "k_rmsnorm"),
-    ("_query_norm", "q_rmsnorm"),
-    ("key_norm", "k_rmsnorm"),
-    ("query_norm", "q_rmsnorm"),
-    ("Transformer/encoderblock", "Transformer_encoderblock"),
-    ("Transformer/encoder_norm", "Transformer_encoder_norm"),
-)
-
 _LAYER_RE = re.compile(r"(?:^|/)layer_(\d+)/")
+_ENCODERBLOCK_RE = re.compile(r"(?:^|/)Transformer_encoderblock_(\d+)/")
+
+
+def _stack_by_index(flat: dict, pattern: re.Pattern, replacement: str) -> dict:
+    """Collapse ``...<name>_N/...`` paths into stacked arrays with a leading
+    depth axis, leaving other paths untouched."""
+    grouped: dict[str, dict[int, np.ndarray]] = {}
+    out: dict = {}
+    for key, value in flat.items():
+        m = pattern.search(key)
+        if not m:
+            out[key] = value
+            continue
+        idx = int(m.group(1))
+        stacked_key = key[: m.start()] + ("/" if m.start() else "") + replacement + key[m.end() - 1 :]
+        grouped.setdefault(stacked_key, {})[idx] = value
+    for key, by_layer in grouped.items():
+        depth = max(by_layer) + 1
+        if len(by_layer) != depth:
+            raise ValueError(f"missing layers for {key}: have {sorted(by_layer)}")
+        out[key] = np.stack([np.asarray(by_layer[i]) for i in range(depth)], axis=0)
+    return out
 
 
 def stack_scan_layers(flat: dict) -> dict:
     """Collapse ``.../layer_N/...`` paths into stacked arrays with a leading
     depth axis, leaving other paths untouched."""
-    grouped: dict[str, dict[int, np.ndarray]] = {}
-    out: dict = {}
-    for key, value in flat.items():
-        m = _LAYER_RE.search(key)
-        if not m:
-            out[key] = value
-            continue
-        layer_idx = int(m.group(1))
-        stacked_key = key[: m.start()] + ("/" if m.start() else "") + "layers" + key[m.end() - 1 :]
-        grouped.setdefault(stacked_key, {})[layer_idx] = value
-    for key, by_layer in grouped.items():
-        depth = max(by_layer) + 1
-        if len(by_layer) != depth:
-            raise ValueError(f"missing layers for {key}: have {sorted(by_layer)}")
-        out[key] = jnp.stack([jnp.asarray(by_layer[i]) for i in range(depth)], axis=0)
-    return out
+    return _stack_by_index(flat, _LAYER_RE, "layers")
 
 
 def resize_pos_embedding(posemb: np.ndarray, target_tokens: int) -> np.ndarray:
-    """Bicubic grid resize of learned ViT position embeddings [1, N, D]."""
+    """Bicubic grid resize of learned ViT position embeddings [1, N, D]
+    (reference weight_loaders.py:296-341)."""
     from scipy.ndimage import zoom
 
     posemb = np.asarray(posemb)
@@ -71,8 +82,44 @@ def resize_pos_embedding(posemb: np.ndarray, target_tokens: int) -> np.ndarray:
         return posemb
     grid = posemb.reshape(side, side, d)
     factor = target_side / side
-    resized = zoom(grid, (factor, factor, 1), order=3)
+    resized = zoom(grid, (factor, factor, 1), order=3, mode="reflect")
     return resized.reshape(1, target_side * target_side, d).astype(posemb.dtype)
+
+
+def remap_gemma3_export(flat: dict) -> dict:
+    """Remap a flattened raw Gemma3 export to our model's flat key space
+    (no merging; pure key/layout surgery)."""
+    out: dict = {}
+    for key, value in flat.items():
+        key = key.removeprefix("params/")
+        if key.startswith("transformer/embedder/mm_input_projection/w"):
+            out["img/head/kernel"] = value
+            continue
+        if key.startswith("transformer/embedder/mm_input_projection/b"):
+            out["img/head/bias"] = value
+            continue
+        if key.startswith("transformer/embedder/mm_soft_embedding_norm/"):
+            out["img/" + key.removeprefix("transformer/embedder/")] = value
+            continue
+        if key.startswith("transformer/"):
+            key = "llm/" + key.removeprefix("transformer/")
+            key = key.replace("/_key_norm/", "/k_rmsnorm/")
+            key = key.replace("/_query_norm/", "/q_rmsnorm/")
+            # our Einsum modules store bare arrays, not {'w': ...}
+            key = key.replace("/mlp/gating_einsum/w", "/mlp/gating_einsum")
+            key = key.replace("/mlp/linear/w", "/mlp/linear")
+            out[key] = value
+            continue
+        if key.startswith("SigLiPFromPatches_0/siglip_encoder/"):
+            sub = key.removeprefix("SigLiPFromPatches_0/siglip_encoder/")
+            sub = sub.replace("Transformer/encoder_norm/", "Transformer_encoder_norm/")
+            sub = sub.replace("Transformer/encoderblock_", "Transformer_encoderblock_")
+            out["img/" + sub] = value
+            continue
+        out[key] = value  # already in our namespace (e.g. re-export of a merge)
+    # stack transformer layers and SigLIP encoder blocks
+    out = _stack_by_index(out, _LAYER_RE, "layers")
+    return _stack_by_index(out, _ENCODERBLOCK_RE, "Transformer_encoderblock")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,27 +132,33 @@ class Gemma3ScanCompatibleWeightLoader:
     def load(self, params_shape: dict) -> dict:
         raw = restore_params(self.params_path)
         flat = flatten(raw)
-        renamed = {}
-        for key, value in flat.items():
-            for old, new in _RENAMES:
-                key = key.replace(old, new)
-            key = key.removeprefix("params/")
-            renamed[key] = value
-        stacked = stack_scan_layers(renamed)
+        n_src = sum(int(np.prod(np.shape(v))) for v in flat.values())
+        remapped = remap_gemma3_export(flat)
 
         # Position-embedding resize if the model uses a different grid.
         flat_shape = flatten(params_shape)
-        for key in list(stacked.keys()):
+        for key in list(remapped.keys()):
             if key.endswith("pos_embedding") and key in flat_shape:
                 want = flat_shape[key].shape[-2]
-                have = np.asarray(stacked[key]).shape[-2]
+                have = np.asarray(remapped[key]).shape[-2]
                 if want != have:
                     logger.info("resizing %s pos embedding %d -> %d tokens", key, have, want)
-                    stacked[key] = jnp.asarray(
-                        resize_pos_embedding(np.asarray(stacked[key]), want)
-                    )
+                    remapped[key] = resize_pos_embedding(np.asarray(remapped[key]), want)
 
-        # Parameter-count conservation check (reference weight_loaders.py:606-620).
-        n_src = sum(int(np.prod(np.shape(v))) for v in stacked.values())
-        logger.info("gemma3 loader: %d source params after remap", n_src)
-        return merge_params(unflatten(stacked), params_shape, missing_regex=self.missing_regex)
+        # Parameter-count conservation check (reference weight_loaders.py:598-620):
+        # remapping must never duplicate a source array; pos-emb resize is the
+        # only size-changing step, and extra source keys may be discarded.
+        n_out = sum(int(np.prod(np.shape(v))) for k, v in remapped.items() if not k.endswith("pos_embedding"))
+        n_src_no_pos = sum(
+            int(np.prod(np.shape(v))) for k, v in flat.items() if not k.endswith("pos_embedding")
+        )
+        if n_out > n_src_no_pos:
+            raise ValueError(
+                f"gemma3 remap GAINED parameters ({n_src_no_pos:,} -> {n_out:,}): duplication bug"
+            )
+        logger.info(
+            "gemma3 loader: %d source params, %d after remap (discarded %d)",
+            n_src, n_out, n_src_no_pos - n_out,
+        )
+        remapped = {k: jnp.asarray(v) for k, v in remapped.items()}
+        return merge_params(unflatten(remapped), params_shape, missing_regex=self.missing_regex)
