@@ -6,13 +6,14 @@ as discrete tokens appended to the prompt, trained with the standard LM loss,
 and decoded back with ``extract_actions``.
 
 The reference downloads the trained ``physical-intelligence/fast`` HF
-processor (a DCT + learned-BPE codec). Offline we implement the same DCT +
-quantization pipeline without the learned BPE stage: each quantized DCT
-coefficient maps to one token. Action tokens live at the TAIL of the text
-vocabulary via ``vocab - 1 - skip - token`` (reference mapping,
-tokenizer.py:563-584), so checkpoints trained either way use the same id
-range. When a trained FAST processor export is available on disk it can be
-plugged in via the ``codec`` argument.
+processor (a DCT + learned-BPE codec). We implement the full pipeline:
+DCT -> quantize -> learned BPE (``lap_tpu.models.bpe.IntBPE``; trainable
+offline, or loaded from a released processor export with
+``IntBPE.from_hf_export`` -- byte-compatibility with a real export is
+env-gated in tests since no HF assets ship in this image). Action tokens
+live at the TAIL of the text vocabulary via ``vocab - 1 - skip - token``
+(reference mapping, tokenizer.py:563-584), so checkpoints trained either
+way use the same id range.
 """
 
 from __future__ import annotations
@@ -27,13 +28,25 @@ from lap_tpu.models.tokenizer import Gemma3Tokenizer, PaligemmaTokenizer
 
 @dataclasses.dataclass(frozen=True)
 class FASTActionCodec:
-    """DCT-quantization codec over normalized [-1, 1] action chunks."""
+    """DCT-quantization (+ optional learned BPE) codec over normalized
+    [-1, 1] action chunks.
+
+    With ``bpe`` set (an ``lap_tpu.models.bpe.IntBPE`` trained over the
+    quantized-DCT symbol stream, or loaded from a physical-intelligence/fast
+    export via ``IntBPE.from_hf_export``), the pipeline matches the released
+    FAST processor: DCT -> quantize -> BPE-compress."""
 
     num_bins: int = 1024
     # DCT coefficients are scaled before rounding; higher = finer.
     scale: float = 64.0
+    bpe: "object | None" = None  # IntBPE; alphabet_size must equal num_bins
 
-    def encode(self, actions: np.ndarray) -> list[int]:
+    @property
+    def vocab_size(self) -> int:
+        """Number of distinct action-token ids this codec emits."""
+        return self.bpe.vocab_size if self.bpe is not None else self.num_bins
+
+    def quantize(self, actions: np.ndarray) -> list[int]:
         """[H, D] continuous -> flat list of ints in [0, num_bins)."""
         actions = np.asarray(actions, dtype=np.float32)
         coeffs = dct(actions, axis=0, norm="ortho")
@@ -41,7 +54,15 @@ class FASTActionCodec:
         q = np.clip(q + self.num_bins // 2, 0, self.num_bins - 1)
         return q.flatten().tolist()
 
+    def encode(self, actions: np.ndarray) -> list[int]:
+        symbols = self.quantize(actions)
+        if self.bpe is not None:
+            return self.bpe.encode(symbols)
+        return symbols
+
     def decode(self, tokens: list[int], *, action_horizon: int, action_dim: int) -> np.ndarray:
+        if self.bpe is not None:
+            tokens = self.bpe.decode(list(tokens))
         want = action_horizon * action_dim
         arr = np.asarray(tokens[:want], dtype=np.int64)
         if arr.size < want:
@@ -70,7 +91,7 @@ class FASTTokenizerMixin:
     def extract_actions(self, tokens: np.ndarray, action_horizon: int, action_dim: int) -> np.ndarray:
         """Pull action tokens out of a generated sequence and decode them."""
         vocab = self._tokenizer.vocab_size()
-        lo = vocab - 1 - self.skip_tokens - (self.codec.num_bins - 1)
+        lo = vocab - 1 - self.skip_tokens - (self.codec.vocab_size - 1)
         hi = vocab - 1 - self.skip_tokens
         ids = [int(t) for t in np.asarray(tokens).flatten() if lo <= int(t) <= hi]
         action_ints = [self._vocab_to_action_token(t) for t in ids]
