@@ -11,6 +11,14 @@ Usage:
 
 from __future__ import annotations
 
+# Allow `python scripts/...` straight from a checkout: put the repo root on
+# sys.path without requiring an installed package.
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
+
 import logging
 
 import jax
@@ -164,7 +172,21 @@ def main(config: _config.TrainConfig) -> None:
         try:
             loaders[ds_name] = create_data_loader(ds_cfg, mesh, split=ds_cfg.eval_split)
         except Exception as e:  # noqa: BLE001 - optional mixtures may be absent
-            logger.info("skipping eval dataset config %r: %s", ds_name, e)
+            # The run's own mixture must evaluate; only the optional held-out
+            # demo mixture may legitimately be missing — and even then say so
+            # loudly (reference eval.py:285-360 evaluates both).
+            if ds_name == "original":
+                raise
+            logger.warning(
+                "SKIPPING eval dataset config %r (data_mix=%r): %s — "
+                "register the mixture in lap_tpu/data/mixtures.py or point "
+                "rlds_data_dir at it to evaluate the held-out demo split.",
+                ds_name,
+                ds_cfg.data.data_mix,
+                e,
+            )
+    if not loaders:
+        raise RuntimeError("no eval dataset configuration could be constructed")
 
     metrics_logger = MetricsLogger(
         log_dir=config.checkpoint_dir, wandb_enabled=config.wandb_enabled,

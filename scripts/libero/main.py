@@ -11,6 +11,14 @@ unit-tested) without the LIBERO simulator installed.
 
 from __future__ import annotations
 
+# Allow `python scripts/...` straight from a checkout: put the repo root on
+# sys.path without requiring an installed package.
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[2]))
+
+
 import argparse
 import collections
 import datetime
