@@ -112,11 +112,6 @@ class Embedder(nn.Module):
 
     def encode(self, tokens):
         x = self.input_embedding_table[(tokens,)]
-        # Explicit reshard boundary: the gather over the (vocab-sharded
-        # under tp) table produces an awkward layout; constraining here lets
-        # GSPMD insert one clean collective instead of an involuntary full
-        # rematerialization downstream.
-        x = activation_sharding_constraint(x)
         return x * jnp.sqrt(self.embed_dim).astype(x.dtype)
 
     def decode(self, x):
@@ -403,6 +398,11 @@ class Module(nn.Module):
         embedded = jax.tree.map(lambda e: e.astype(self.embed_dtype), embedded)
         if adarms_cond is None:
             adarms_cond = [None] * len(self.configs)
+        # Pin the [B, W] conditioning vectors to the data axes: without this
+        # GSPMD tries to honor the fsdp-sharded modulation-Dense kernels on
+        # the activation side in the scan backward and falls into involuntary
+        # full rematerializations (norm reduce_sum / silu add_any reshards).
+        adarms_cond = activation_sharding_constraint(adarms_cond)
         embedded, kv_cache = self.layers(
             embedded, kv_cache, positions, mask, adarms_cond, deterministic
         )

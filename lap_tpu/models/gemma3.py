@@ -406,6 +406,9 @@ class Module(nn.Module):
         embedded = jax.tree.map(lambda e: e.astype(self.embed_dtype), embedded)
         if adarms_cond is None:
             adarms_cond = [None] * len(self.configs)
+        # Pin [B, W] conditioning to the data axes (see gemma.py.__call__):
+        # avoids involuntary rematerialization in the scan backward.
+        adarms_cond = activation_sharding_constraint(adarms_cond)
         embedded, kv_cache = self.layers(
             embedded, kv_cache, positions, mask, adarms_cond,
             self._is_global_attn, image_mask, deterministic,

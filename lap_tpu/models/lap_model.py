@@ -41,6 +41,7 @@ from lap_tpu.models.types import (
     fake_obs,
 )
 from lap_tpu.ops.masks import make_attn_mask
+from lap_tpu.parallel.mesh import activation_sharding_constraint
 
 PALIGEMMA_VOCAB_SIZE = _gemma.PALIGEMMA_VOCAB_SIZE
 
@@ -269,7 +270,10 @@ class LAP(nn.Module):
             timestep, self._action_width, min_period=4e-3, max_period=4.0
         )
         if cfg.pi05:
-            y = nn.swish(self.time_mlp_in(time_emb))
+            # Pin the [B, W] time-MLP activations to the data axes: the
+            # fsdp-sharded Dense kernels otherwise pull the swish backward
+            # into an involuntary full rematerialization under (dp,fsdp,tp).
+            y = activation_sharding_constraint(nn.swish(self.time_mlp_in(time_emb)))
             adarms_cond = nn.swish(self.time_mlp_out(y))
             expert_tokens = action_tokens
         else:

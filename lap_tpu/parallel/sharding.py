@@ -37,7 +37,11 @@ DEFAULT_TP_RULES: tuple[tuple[str, object], ...] = (
     # MLPs: shard the hidden dim, which is the largest in both the Gemma2
     # ([2, D, F]) and Gemma3 ([2, F, D]) gating layouts.
     (r".*mlp.*(gating_einsum|linear)$", "largest"),
-    (r".*embedder/input_embedding$", 0),  # [V, D] -> vocab
+    # NOTE: the embedding table is deliberately NOT tp-sharded. Sharding
+    # [V, D] over tp makes the encode gather and (worse) its backward
+    # scatter-add repartition [B, T, D] cotangents across tp — XLA SPMD
+    # falls back to involuntary full rematerialization there. FSDP still
+    # splits the table; tp replication costs nothing at LAP vocab sizes.
 )
 
 

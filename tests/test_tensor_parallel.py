@@ -37,8 +37,10 @@ def test_tp_rules_place_heads_and_mlp():
     assert "tp" in str(flat[q_key].spec), flat[q_key].spec
     mlp_key = next(k for k in flat if "gating_einsum" in k and "llm" in k)
     assert "tp" in str(flat[mlp_key].spec)
+    # The embedding table is deliberately NOT tp-sharded (encode-gather /
+    # scatter-add backward would involuntarily rematerialize); FSDP covers it.
     emb_key = next(k for k in flat if "input_embedding" in k)
-    assert flat[emb_key].spec == PartitionSpec("tp")
+    assert "tp" not in str(flat[emb_key].spec)
 
 
 def test_tp_train_step_runs_and_matches_replicated():
