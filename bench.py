@@ -1,20 +1,26 @@
-"""Headline benchmark: LAP-3B on one TPU chip.
+"""Headline benchmark: LAP on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Hz", "vs_baseline": N, ...extras}
 
-The primary metric is action-chunk inference rate; vs_baseline is measured
-Hz / 15 Hz — the reference's real-robot DROID control rate (reference
-scripts/real_robot/shared.py:23) and the north-star target in BASELINE.md
-(>= 15 Hz per v5e chip at p50). Extras record the train-step wall-clock for
-the BASELINE.md second north star (lap_libero fine-tune step time): fwd+bwd
-of the full 2-expert loss at the lap_libero operating point (action_horizon
-10, max_token_len 180), reported per-example so it scales to any global
-batch / chip count.
+The primary metric is LAP-3B action-chunk inference rate; vs_baseline is
+measured Hz / 15 Hz — the reference's real-robot DROID control rate
+(reference scripts/real_robot/shared.py:23) and the north-star target in
+BASELINE.md (>= 15 Hz per v5e chip at p50).
 
-A persistent XLA compilation cache under .jax_cache keeps repeat runs fast
-(the 2-expert loss graph compiles in minutes the first time). If the train
-graph cannot compile/fit on this chip, the Hz metric still prints.
+Extras:
+  - gemma3_4b_hz: LAPGemma3-4B action-chunk inference rate (sliding-window
+    attention path), so regressions on the Gemma3 stack are visible.
+  - Full-model train step (NO freezing — every parameter gets a gradient)
+    at per-chip batch 8, lap_libero operating point (action_horizon 10,
+    max_token_len 180): ms/step, examples/s/chip, tokens/s/chip, and an
+    MFU estimate vs the v5e bf16 peak (197 TFLOP/s). This is the number
+    that scales to the pod recipe (batch 256 over N chips).
+  - Frozen-VLM fine-tune step at the same batch as a secondary line (the
+    single-chip LoRA-style operating point).
+
+A persistent XLA compilation cache under .jax_cache keeps repeat runs fast.
+If a graph cannot compile/fit on this chip, the Hz metric still prints.
 """
 
 import json
@@ -25,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_HZ = 15.0
+V5E_BF16_PEAK_FLOPS = 197e12  # per-chip peak, bf16 MXU
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -57,6 +64,34 @@ def _flagship_cfg(on_tpu: bool, *, action_horizon: int = 16):
     )
 
 
+def _gemma3_cfg(on_tpu: bool):
+    from lap_tpu.models.lap_model import LAPConfig
+
+    if on_tpu:
+        # lap_gemma3_4b flagship shape (training/config.py lap_gemma3_4b).
+        return LAPConfig(
+            paligemma_variant="gemma3_4b",
+            action_expert_variant="gemma3_300m",
+            action_dim=32,
+            action_horizon=16,
+            max_token_len=800,
+            enable_action_training=True,
+            enable_langact_training=True,
+        )
+    return LAPConfig(
+        dtype="float32",
+        paligemma_variant="gemma3_dummy",
+        action_expert_variant="gemma3_dummy",
+        siglip_variant="dummy",
+        action_dim=7,
+        action_horizon=4,
+        max_token_len=532,  # 2 cameras x 256 placeholders + a little text
+        image_resolution=(28, 28),
+        enable_action_training=True,
+        enable_langact_training=True,
+    )
+
+
 def _init_params(model, dtype):
     rng = jax.random.PRNGKey(0)
     params = jax.jit(
@@ -69,15 +104,29 @@ def _init_params(model, dtype):
     return params
 
 
-def bench_inference(on_tpu: bool) -> float:
+def _with_image_placeholders(cfg, obs):
+    """Gemma3 serving reality: each camera contributes one IMAGE_TOKEN
+    placeholder per ViT output token inside the token sequence (replaced
+    post-embed by SigLIP; 256/camera at 224x224 with patch 14)."""
+    from lap_tpu.models.tokenizer import GEMMA3_IMAGE_TOKEN
+
+    per_cam = (cfg.image_resolution[0] // 14) * (cfg.image_resolution[1] // 14)
+    per_cam = min(per_cam, 256)  # siglip_gemma3 pools larger grids to 256
+    n_img_tokens = per_cam * len(cfg.image_keys)
+    toks = np.full((1, cfg.max_token_len), 5, np.int32)
+    toks[0, :n_img_tokens] = GEMMA3_IMAGE_TOKEN
+    return obs.replace(tokenized_prompt=jnp.asarray(toks))
+
+
+def bench_inference(cfg, on_tpu: bool, *, iters: int, gemma3: bool = False) -> float:
     """p50 seconds per action chunk (policy inference, batch 1)."""
-    cfg = _flagship_cfg(on_tpu)
-    iters = 30 if on_tpu else 3
     model = cfg.create_module()
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = _init_params(model, dtype)
     rng = jax.random.PRNGKey(0)
     obs = cfg.fake_obs(1)
+    if gemma3:
+        obs = _with_image_placeholders(cfg, obs)
     # ``noise`` is threaded through so successive calls form a data-dependency
     # chain: on remote-tunnel platforms block_until_ready alone does not
     # reliably fence execution, so we time the whole chain and fetch the final
@@ -101,36 +150,125 @@ def bench_inference(on_tpu: bool) -> float:
     return float(np.percentile(np.array(per_iter), 50))
 
 
+def _fake_train_batch(cfg, batch: int):
+    obs = cfg.fake_obs(batch)
+    obs = obs.replace(
+        tokenized_prompt=jnp.tile(
+            jnp.arange(cfg.max_token_len, dtype=jnp.int32)[None], (batch, 1)
+        ),
+        tokenized_langact_mask=jnp.tile(
+            (jnp.arange(cfg.max_token_len) >= 8)[None], (batch, 1)
+        ),
+        token_loss_mask=jnp.ones((batch, cfg.max_token_len), bool),
+    )
+    return obs, cfg.fake_actions(batch)
+
+
+def _model_flops_per_example(cfg, params) -> float:
+    """Analytic fwd+bwd model FLOPs per example (6*N*T convention: matmul
+    params x tokens routed through them; remat recompute NOT counted, which
+    makes the MFU estimate conservative-honest)."""
+    p = params["params"]
+    flat = {}
+
+    def walk(node, prefix):
+        if hasattr(node, "shape"):
+            flat[prefix] = int(np.prod(node.shape))
+            return
+        for k, v in node.items():
+            walk(v, f"{prefix}/{k}")
+
+    walk(p, "")
+    n_images = len(cfg.image_keys)
+    prefix_tokens = 256 * n_images + cfg.max_token_len
+    suffix_tokens = cfg.action_horizon + 1
+    vit_tokens = 256 * n_images  # per-image patches, summed over cameras
+    fwd = 0.0
+    for path, n in flat.items():
+        if "input_embedding" in path:
+            # Tied decode head: a [V, D] matmul over the text positions
+            # (language CE); the encode gather is not a matmul.
+            fwd += 2.0 * n * cfg.max_token_len
+        elif "/img/" in path:
+            fwd += 2.0 * n * vit_tokens
+        elif "_1" in path:  # action expert (expert-1 suffixed weights)
+            fwd += 2.0 * n * suffix_tokens
+        elif any(s in path for s in ("action_", "time_mlp", "state_proj")):
+            fwd += 2.0 * n * suffix_tokens
+        else:
+            fwd += 2.0 * n * prefix_tokens
+    return 3.0 * fwd  # fwd + bwd
+
+
 def bench_train_step(on_tpu: bool) -> dict:
-    """Wall-clock of one fwd+bwd of the full 2-expert loss (lap_libero shape).
+    """Full-model fwd+bwd (every param gets a gradient) at per-chip batch 8,
+    lap_libero shape, plus the frozen-VLM secondary line. Returns {} entries
+    for whatever cannot compile/fit."""
+    out: dict = {}
+    cfg = _flagship_cfg(on_tpu, action_horizon=10)  # lap_libero operating point
+    model = cfg.create_module()
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    params = _init_params(model, dtype)
+    rng = jax.random.PRNGKey(0)
+    batch = 8 if on_tpu else 2
+    obs, actions = _fake_train_batch(cfg, batch)
+    iters = 5 if on_tpu else 2
 
-    Micro-batch 1 in bf16 on one chip; per-example ms is the scalable number
-    (global step time = per_example_ms * global_batch / n_chips at the same
-    efficiency). Returns {} if the graph cannot compile/fit.
-    """
+    def timed_steps(grad_fn, *args):
+        # Warmup/compile, then time. Two measurement rules for this platform:
+        # (1) grads are dropped before the next call (a real train step
+        # donates them into the optimizer update) so two gradient buffers
+        # never coexist; (2) successive steps are chained through the loss
+        # (seed_{i+1} depends on loss_i) and the final loss is fetched to
+        # host — on remote-tunnel platforms block_until_ready alone does not
+        # reliably fence execution.
+        loss, grads = grad_fn(*args, jnp.uint32(0))
+        jax.block_until_ready(loss)
+        del grads
+        ts = []
+        for rep in range(3):
+            seed = jnp.uint32(rep * iters)
+            t0 = time.perf_counter()
+            for i in range(iters):
+                loss, grads = grad_fn(*args, seed)
+                del grads
+                seed = jnp.uint32(rep * iters + i + 1) + loss.astype(jnp.uint32) * 0
+            np.asarray(loss)  # materialize -> fences the whole chain
+            ts.append((time.perf_counter() - t0) / iters)
+        return float(np.median(ts)) * 1e3  # ms/step
+
+    # ---- full model: no freezing ----------------------------------------
     try:
-        cfg = _flagship_cfg(on_tpu, action_horizon=10)  # lap_libero operating point
-        model = cfg.create_module()
-        dtype = jnp.bfloat16 if on_tpu else jnp.float32
-        params = _init_params(model, dtype)
-        rng = jax.random.PRNGKey(0)
-        batch = 1
-        obs = cfg.fake_obs(batch)
-        obs = obs.replace(
-            tokenized_prompt=jnp.tile(
-                jnp.arange(cfg.max_token_len, dtype=jnp.int32)[None], (batch, 1)
-            ),
-            tokenized_langact_mask=jnp.tile(
-                (jnp.arange(cfg.max_token_len) >= 8)[None], (batch, 1)
-            ),
-            token_loss_mask=jnp.ones((batch, cfg.max_token_len), bool),
-        )
-        actions = cfg.fake_actions(batch)
 
-        # Full-3B grads (13.4 GB params+grads in bf16) exceed one v5e's HBM;
-        # measure the frozen-VLM fine-tune instead: grads for the action
-        # expert + projections only (reference freeze_filter semantics), the
-        # realistic single-chip operating point.
+        def loss_full(p, r, seed):
+            loss, _ = model.apply(
+                p, jax.random.fold_in(r, seed), obs, actions,
+                train=True, method=model.compute_loss,
+            )
+            return loss
+
+        step_ms = timed_steps(jax.jit(jax.value_and_grad(loss_full)), params, rng)
+        tokens_per_example = 256 * len(cfg.image_keys) + cfg.max_token_len + cfg.action_horizon + 1
+        flops = _model_flops_per_example(cfg, params) * batch
+        out.update(
+            train_full_batch=batch,
+            train_full_step_ms=round(step_ms, 1),
+            train_full_ms_per_example=round(step_ms / batch, 2),
+            train_full_examples_per_sec_per_chip=round(1000.0 * batch / step_ms, 2),
+            train_full_tokens_per_sec_per_chip=round(
+                1000.0 * batch * tokens_per_example / step_ms
+            ),
+            train_full_mfu_vs_v5e_peak=round(
+                (flops / (step_ms / 1e3)) / V5E_BF16_PEAK_FLOPS, 3
+            )
+            if on_tpu
+            else None,
+        )
+    except Exception as e:  # noqa: BLE001 - OOM / compile limits: skip extras
+        out["train_full_skipped"] = str(e)[:120]
+
+    # ---- frozen-VLM secondary line ---------------------------------------
+    try:
         from lap_tpu.models.lap_model import get_vlm_freeze_filter
         from lap_tpu.training.optimizer import freeze_mask_from_filter
 
@@ -144,38 +282,26 @@ def bench_train_step(on_tpu: bool) -> dict:
                 is_leaf=lambda x: x is None,
             )
 
-        def loss_fn(t, f, r, noise_seed):
+        def loss_frozen(t, r, seed):
             loss, _ = model.apply(
-                merge(t, f), jax.random.fold_in(r, noise_seed), obs, actions,
+                merge(t, frozen), jax.random.fold_in(r, seed), obs, actions,
                 train=True, method=model.compute_loss,
             )
             return loss
 
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-        loss, grads = grad_fn(trainable, frozen, rng, 0)
-        jax.block_until_ready(loss)
-        iters = 8 if on_tpu else 2
-        ts = []
-        for rep in range(3):
-            t0 = time.perf_counter()
-            acc = None
-            for i in range(iters):
-                loss, grads = grad_fn(trainable, frozen, rng, rep * iters + i)
-                acc = loss if acc is None else acc + loss
-            float(acc)  # fence
-            ts.append((time.perf_counter() - t0) / iters)
-        step_ms = float(np.median(ts)) * 1e3
-        return {
-            "train_fwd_bwd_ms_per_example_frozen_vlm": round(step_ms / batch, 2),
-            "train_examples_per_sec_per_chip_frozen_vlm": round(1000.0 * batch / step_ms, 2),
-        }
-    except Exception as e:  # noqa: BLE001 - OOM / compile limits: skip extras
-        return {"train_bench_skipped": str(e)[:120]}
+        step_ms = timed_steps(jax.jit(jax.value_and_grad(loss_frozen)), trainable, rng)
+        out.update(
+            train_frozen_vlm_step_ms=round(step_ms, 1),
+            train_frozen_vlm_ms_per_example=round(step_ms / batch, 2),
+        )
+    except Exception as e:  # noqa: BLE001
+        out["train_frozen_skipped"] = str(e)[:120]
+    return out
 
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    p50_s = bench_inference(on_tpu)
+    p50_s = bench_inference(_flagship_cfg(on_tpu), on_tpu, iters=30 if on_tpu else 3)
     hz = 1.0 / p50_s
     record = {
         "metric": "LAP-3B action chunks/sec per chip (p50)",
@@ -183,6 +309,13 @@ def main():
         "unit": "Hz",
         "vs_baseline": round(hz / BASELINE_HZ, 3),
     }
+    try:
+        g3_s = bench_inference(
+            _gemma3_cfg(on_tpu), on_tpu, iters=15 if on_tpu else 2, gemma3=True
+        )
+        record["gemma3_4b_hz"] = round(1.0 / g3_s, 2)
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        record["gemma3_4b_skipped"] = str(e)[:120]
     record.update(bench_train_step(on_tpu))
     print(json.dumps(record))
 
