@@ -335,6 +335,10 @@ class Module(nn.Module):
     cache_dtype: str | None = None
     attn_impl: str = "auto"
     vocab_size: int = PALIGEMMA_VOCAB_SIZE
+    # Layer-scan unroll factor. 1 for training (smallest compile + remat
+    # memory); higher for latency-critical decode so XLA can overlap layer
+    # N+1's weight prefetch with layer N's compute.
+    scan_unroll: int = 1
 
     def setup(self):
         if not all(c.depth == self.configs[0].depth for c in self.configs):
@@ -356,6 +360,7 @@ class Module(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.configs[0].depth,
+            unroll=self.scan_unroll,
         )(
             configs=tuple(self.configs),
             dropout=self.dropout,

@@ -352,6 +352,8 @@ class Module(nn.Module):
     stop_action_to_vlm_grad: bool = False
     cache_dtype: str | None = None
     attn_impl: str = "auto"
+    # Layer-scan unroll (1 for training; higher for latency-critical decode).
+    scan_unroll: int = 1
 
     def setup(self):
         if not all(c.num_layers == self.configs[0].num_layers for c in self.configs):
@@ -375,6 +377,7 @@ class Module(nn.Module):
             # (kv_cache, positions, mask, adarms, is_global, image_mask, det)
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, 0, nn.broadcast, nn.broadcast),
             length=self.configs[0].num_layers,
+            unroll=self.scan_unroll,
         )(
             configs=tuple(self.configs),
             dropout=self.dropout,

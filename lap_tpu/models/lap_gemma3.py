@@ -12,6 +12,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lap_tpu.models import gemma3 as _gemma3
 from lap_tpu.models import siglip as _siglip
@@ -78,6 +79,7 @@ class LAPGemma3(LAP):
             stop_action_to_vlm_grad=cfg.stop_action_to_vlm_grad,
             cache_dtype=cfg.dtype,
             attn_impl=cfg.attn_impl,
+            scan_unroll=cfg.scan_unroll,
             name="llm",
         )
         # Gemma3 SigLIP: RMS soft-embedding norm, average pooling to 256
@@ -166,7 +168,7 @@ class LAPGemma3(LAP):
             None, observation, train=False, image_keys=cfg.image_keys,
             image_resolution=cfg.image_resolution, aug_wrist_image=cfg.aug_wrist_image,
         )
-        dt = -1.0 / num_steps
+        dt = np.float32(-1.0 / num_steps)
         batch_size = observation.state.shape[0]
         if noise is None:
             noise = jax.random.normal(rng, (batch_size, cfg.action_horizon, cfg.action_dim))
@@ -200,8 +202,12 @@ class LAPGemma3(LAP):
             v_t = self.action_out_proj(suffix_out[:, -cfg.action_horizon :].astype(jnp.float32))
             return x_t + dt * v_t, time + dt
 
-        x_0, _ = jax.lax.while_loop(lambda c: c[1] >= -dt / 2, step, (noise, 1.0))
-        return x_0
+        # Static trip count -> unrolled straight-line XLA (see lap_model.py:
+        # removes while_loop launch overhead, enables cross-step prefetch).
+        x_t, time = noise, np.float32(1.0)
+        for _ in range(num_steps):
+            x_t, time = step((x_t, time))
+        return x_t
 
     def sample_tokens(self, rng, observation, *, max_decoding_steps: int = 390, temperature: float = 0.0):
         cfg = self.config
