@@ -307,6 +307,67 @@ def bench_train_step(on_tpu: bool) -> dict:
     return out
 
 
+def bench_loader() -> dict:
+    """Host input-pipeline throughput: fabricated RLDS episodes with real
+    224x224 JPEGs through the full loader (TFRecord read -> standardize ->
+    chunk -> shuffle -> decode+resize -> tokenize -> normalize -> batch).
+    The number to compare against train_full_examples_per_sec_per_chip: the
+    per-host pipeline must outrun the chips it feeds."""
+    import dataclasses
+    import tempfile
+
+    try:
+        import tests.test_transforms_oxe as tto
+        from lap_tpu.data import rlds
+        from lap_tpu.data.episode_pipeline import encode_jpeg
+        from lap_tpu.data.loader import create_data_loader
+        from lap_tpu.training import config as _config
+
+        rng = np.random.default_rng(0)
+        tmp = tempfile.mkdtemp(prefix="lap_bench_loader")
+        orig = tto.IMGS
+        tto.IMGS = [
+            encode_jpeg(rng.integers(0, 255, (224, 224, 3), np.uint8))
+            for _ in range(tto.T)
+        ]
+        try:
+            fab = tto.FABRICATORS["libero_spatial_no_noops"]
+            rlds.write_rlds_dataset(
+                tmp, "libero_spatial_no_noops", [fab() for _ in range(16)]
+            )
+        finally:
+            tto.IMGS = orig
+
+        cfg = _config.get_config("debug")
+        batch = 8
+        cfg = dataclasses.replace(
+            cfg,
+            batch_size=batch,
+            data=dataclasses.replace(
+                cfg.data,
+                repo_id="bench",
+                data_mix="libero_spatial_no_noops",
+                rlds_data_dir=tmp,
+                val_fraction=0.0,
+                shuffle_buffer_size=64,
+            ),
+        )
+        loader = create_data_loader(cfg, None)
+        it = iter(loader)
+        for _ in range(3):  # warm the producer threads
+            next(it)
+        n = 30
+        t0 = time.perf_counter()
+        for _ in range(n):
+            next(it)
+        dt = time.perf_counter() - t0
+        if hasattr(it, "close"):
+            it.close()
+        return {"loader_examples_per_sec_host": round(n * batch / dt, 1)}
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        return {"loader_bench_skipped": str(e)[:120]}
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     p50_s = bench_inference(
@@ -329,6 +390,7 @@ def main():
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["gemma3_4b_skipped"] = str(e)[:120]
     record.update(bench_train_step(on_tpu))
+    record.update(bench_loader())
     print(json.dumps(record))
 
 
