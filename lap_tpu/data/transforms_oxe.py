@@ -527,11 +527,35 @@ def _matrix_state_transform(episode: dict, *, gripper_scale: float = 0.079) -> d
 
 
 @register_dataset("austin_buds", exact=False, control_frequency=20.0)
-@register_dataset("austin_sailor", exact=False, control_frequency=20.0)
-@register_dataset("austin_sirius", exact=False, control_frequency=20.0)
 @register_dataset("utaustin_mutex", exact=False, control_frequency=20.0)
 def austin_dataset_transform(episode: dict) -> dict:
     return _matrix_state_transform(episode)
+
+
+@register_dataset("austin_sailor", exact=False, control_frequency=20.0)
+@register_dataset("austin_sirius", exact=False, control_frequency=20.0)
+def austin_sailor_sirius_dataset_transform(episode: dict) -> dict:
+    """reference transforms.py:869-926: the EEF matrix comes from the
+    dedicated ``state_ee`` key (NOT the tail of ``state`` as in buds/mutex)
+    and the gripper joint is the LAST column of ``state``."""
+    steps = _steps(episode)
+    obs = steps["observation"]
+    state = np.asarray(obs["state"], np.float32)
+    state_ee = np.asarray(obs["state_ee"], np.float32)
+    mats = np.swapaxes(state_ee[:, -16:].reshape(-1, 4, 4), -1, -2)
+    eef = rotation.matrix_state_to_xyzrpy(mats).astype(np.float32)
+    grip_state = np.clip(state[:, -1:] / 0.079, 0, 1)
+    action = np.asarray(steps["action"], np.float32)
+    grip = invert_gripper_actions(np.clip(action[:, -1:], 0, 1))
+    return _canonical(
+        base_imgs=obs.get("image"),
+        wrist_imgs=obs.get("wrist_image"),
+        eef_state=eef,
+        gripper_state=grip_state,
+        action=np.concatenate([eef, grip], axis=-1),
+        gripper_action=grip,
+        instructions=_instructions(steps),
+    )
 
 
 @register_dataset("furniture_bench", exact=False, control_frequency=10.0)
@@ -646,9 +670,15 @@ def fmb_dataset_transform(episode: dict) -> dict:
         [eef_pose[:, :3], rotation.quat_to_euler(eef_pose[:, 3:7]).astype(np.float32)],
         axis=-1,
     )
-    grip_state = np.clip(np.asarray(obs["state_gripper_pose"], np.float32).reshape(-1, 1), 0, 1)
+    # reference transforms.py:1340-1367: BOTH grippers are inverted; the
+    # state gripper is clipped after inversion, the action gripper is not.
+    grip_state = np.clip(
+        invert_gripper_actions(np.asarray(obs["state_gripper_pose"], np.float32).reshape(-1, 1)),
+        0,
+        1,
+    )
     action = np.asarray(steps["action"], np.float32)
-    grip = np.clip(action[:, -1:], 0, 1)
+    grip = invert_gripper_actions(action[:, -1:])
     return _canonical(
         base_imgs=obs.get("image_side_1"),
         wrist_imgs=obs.get("image_wrist_1"),
@@ -657,6 +687,10 @@ def fmb_dataset_transform(episode: dict) -> dict:
         action=np.concatenate([eef, grip], axis=-1),
         gripper_action=grip,
         instructions=_instructions(steps),
+        # explicit: the reference does NOT clip the language-action gripper
+        language_action=np.concatenate(
+            [compute_padded_movement_actions(eef), grip], axis=-1
+        ),
     )
 
 
@@ -1098,16 +1132,23 @@ def berkeley_fanuc_dataset_transform(episode: dict) -> dict:
     state = np.asarray(obs["state"], np.float32)
     ee = np.asarray(obs["end_effector_state"], np.float32)
     raw_action = np.asarray(steps["action"], np.float32)
-    grip = np.clip(invert_gripper_actions(state[:, 6:7]), 0, 1)
+    # Reference clip/invert order (transforms.py:1215-1242) is subtle: the
+    # language action inverts the RAW state gripper (unclipped); the state
+    # column is clip(invert(raw)); and the action gripper re-inverts the
+    # already-replaced state column — i.e. invert(clip(invert(raw))), which
+    # equals clip(raw, 0, 1).
+    grip_raw = invert_gripper_actions(state[:, 6:7])
+    grip_state = np.clip(grip_raw, 0, 1)
+    grip_action = invert_gripper_actions(grip_state)
     eef = np.concatenate(
         [ee[:, :3], rotation.quat_to_euler(ee[:, 3:7]).astype(np.float32)], axis=-1
     )
     return _canonical(
         base_imgs=obs.get("image"), wrist_imgs=obs.get("wrist_image"),
-        eef_state=eef, gripper_state=grip,
-        action=np.concatenate([eef, grip], axis=-1),
-        gripper_action=grip, instructions=_instructions(steps),
-        language_action=np.concatenate([raw_action[:, :6], grip], axis=-1),
+        eef_state=eef, gripper_state=grip_state,
+        action=np.concatenate([eef, grip_action], axis=-1),
+        gripper_action=grip_action, instructions=_instructions(steps),
+        language_action=np.concatenate([raw_action[:, :6], grip_raw], axis=-1),
     )
 
 

@@ -339,6 +339,12 @@ class Module(nn.Module):
     # memory); higher for latency-critical decode so XLA can overlap layer
     # N+1's weight prefetch with layer N's compute.
     scan_unroll: int = 1
+    # Rematerialization policy for the scanned blocks: "nothing_saveable"
+    # (recompute everything in backward — smallest memory, reference
+    # behavior), "dots_with_no_batch_dims_saveable", or "none" (no remat —
+    # fastest backward, highest activation memory; fits small models/meshes
+    # with generous HBM).
+    remat_policy: str = "nothing_saveable"
 
     def setup(self):
         if not all(c.depth == self.configs[0].depth for c in self.configs):
@@ -348,12 +354,15 @@ class Module(nn.Module):
             embed_dim=self.configs[0].width,
             name="embedder",
         )
-        block_cls = nn.remat(
-            Block,
-            prevent_cse=False,
-            static_argnums=(5,),
-            policy=jax.checkpoint_policies.nothing_saveable,
-        )
+        if self.remat_policy == "none":
+            block_cls = Block
+        else:
+            block_cls = nn.remat(
+                Block,
+                prevent_cse=False,
+                static_argnums=(5,),
+                policy=getattr(jax.checkpoint_policies, self.remat_policy),
+            )
         self.layers = nn.scan(
             block_cls,
             variable_axes={"params": 0},

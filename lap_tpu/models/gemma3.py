@@ -354,6 +354,9 @@ class Module(nn.Module):
     attn_impl: str = "auto"
     # Layer-scan unroll (1 for training; higher for latency-critical decode).
     scan_unroll: int = 1
+    # Block remat policy (see gemma.Module.remat_policy): a
+    # jax.checkpoint_policies name, or "none" for no remat.
+    remat_policy: str = "nothing_saveable"
 
     def setup(self):
         if not all(c.num_layers == self.configs[0].num_layers for c in self.configs):
@@ -364,12 +367,15 @@ class Module(nn.Module):
             name="embedder",
         )
         self._is_global_attn = self.configs[0].is_global_attn_array()
-        block_cls = nn.remat(
-            Block,
-            prevent_cse=False,
-            static_argnums=(8,),  # deterministic (0 = self)
-            policy=jax.checkpoint_policies.nothing_saveable,
-        )
+        if self.remat_policy == "none":
+            block_cls = Block
+        else:
+            block_cls = nn.remat(
+                Block,
+                prevent_cse=False,
+                static_argnums=(8,),  # deterministic (0 = self)
+                policy=getattr(jax.checkpoint_policies, self.remat_policy),
+            )
         self.layers = nn.scan(
             block_cls,
             variable_axes={"params": 0},

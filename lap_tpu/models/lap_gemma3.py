@@ -80,6 +80,7 @@ class LAPGemma3(LAP):
             cache_dtype=cfg.dtype,
             attn_impl=cfg.attn_impl,
             scan_unroll=cfg.scan_unroll,
+            remat_policy=cfg.remat_policy,
             name="llm",
         )
         # Gemma3 SigLIP: RMS soft-embedding norm, average pooling to 256

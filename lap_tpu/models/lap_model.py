@@ -91,6 +91,9 @@ class LAPConfig:
     # (smallest compile + remat memory); raise for latency-critical serving
     # so XLA overlaps layer N+1's weight prefetch with layer N's compute.
     scan_unroll: int = 1
+    # Block remat policy ("nothing_saveable" / "none" / any
+    # jax.checkpoint_policies name). See gemma.Module.remat_policy.
+    remat_policy: str = "nothing_saveable"
 
     @property
     def image_keys(self) -> tuple[str, ...]:
@@ -219,6 +222,7 @@ class LAP(nn.Module):
             cache_dtype=cfg.dtype,
             attn_impl=cfg.attn_impl,
             scan_unroll=cfg.scan_unroll,
+            remat_policy=cfg.remat_policy,
             name="llm",
         )
         # big_vision ViT head: per-token Dense projecting to the LLM width

@@ -92,6 +92,17 @@ def _stub_from_quaternion(q):
     return tf.constant(m.astype(np.float32))
 
 
+def _stub_euler_from_quaternion(q):
+    """tfg euler.from_quaternion: extrinsic XYZ angles (R = Rz Ry Rx),
+    extracted with tfg's from_rotation_matrix formulas."""
+    m = _stub_from_quaternion(q).numpy().astype(np.float64)
+    sy = np.sqrt(m[..., 0, 0] ** 2 + m[..., 1, 0] ** 2)
+    ax = np.arctan2(m[..., 2, 1], m[..., 2, 2])
+    ay = np.arctan2(-m[..., 2, 0], sy)
+    az = np.arctan2(m[..., 1, 0], m[..., 0, 0])
+    return tf.constant(np.stack([ax, ay, az], -1).astype(np.float32))
+
+
 _tfg = types.ModuleType("tensorflow_graphics")
 _tfg_geom = types.ModuleType("tensorflow_graphics.geometry")
 _tfg_tr = types.ModuleType("tensorflow_graphics.geometry.transformation")
@@ -99,6 +110,7 @@ _rm3 = types.SimpleNamespace(
     from_axis_angle=_stub_from_axis_angle, from_quaternion=_stub_from_quaternion
 )
 _tfg_tr.rotation_matrix_3d = _rm3
+_tfg_tr.euler = types.SimpleNamespace(from_quaternion=_stub_euler_from_quaternion)
 _tfg_geom.transformation = _tfg_tr
 _tfg.geometry = _tfg_geom
 sys.modules["tensorflow_graphics"] = _tfg
@@ -586,6 +598,191 @@ def gen_dataset_suite():
             "language_instruction": _mk_instr(t),
         },
         ["action", f"observation{SEP}EEF_state", f"observation{SEP}gripper_state"],
+    )
+
+    # ----- round-3 additions: the remaining oxe_magic_soup members --------
+    # (appended AFTER all earlier rng draws so existing fixtures reproduce)
+
+    def _quats(n):
+        q = rng.normal(size=(n, 4)).astype(np.float64)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        return q.astype(np.float32)  # xyzw
+
+    def _se3_colmajor(n):
+        """Flattened column-major 4x4 EEF poses (austin-style state tail)."""
+        import math
+
+        flats = np.zeros((n, 16), np.float32)
+        eul = rng.uniform(-np.pi, np.pi, size=(n, 3))
+        pos = rng.normal(size=(n, 3)) * 0.4
+        for i in range(n):
+            a, b, c = eul[i]
+            Rx = np.array([[1, 0, 0], [0, math.cos(a), -math.sin(a)], [0, math.sin(a), math.cos(a)]])
+            Ry = np.array([[math.cos(b), 0, math.sin(b)], [0, 1, 0], [-math.sin(b), 0, math.cos(b)]])
+            Rz = np.array([[math.cos(c), -math.sin(c), 0], [math.sin(c), math.cos(c), 0], [0, 0, 1]])
+            M = np.eye(4)
+            M[:3, :3] = Rz @ Ry @ Rx
+            M[:3, 3] = pos[i]
+            # ref does reshape(...,[4,4]) then transpose -> supply M^T flat
+            flats[i] = M.T.flatten().astype(np.float32)
+        return flats
+
+    # --- fractal / rt1 (ref transforms.py:288-328)
+    specs["fractal"] = (
+        TR.rt1_dataset_transform,
+        {
+            "observation": {
+                "gripper_closed": rng.uniform(0, 1, size=(t, 1)).astype(np.float32),
+                "base_pose_tool_reached": np.concatenate(
+                    [rng.normal(size=(t, 3)).astype(np.float32) * 0.3, _quats(t)], -1
+                ),
+                "natural_language_instruction": _mk_instr(t),
+            },
+            "action": {
+                "world_vector": rng.uniform(-1, 1, size=(t, 3)).astype(np.float32),
+                "rotation_delta": rng.uniform(-0.5, 0.5, size=(t, 3)).astype(np.float32),
+                "gripper_closedness_action": rng.uniform(-1, 1, size=(t, 1)).astype(np.float32),
+            },
+        },
+        ["action", "language_action", f"observation{SEP}eef_state", f"observation{SEP}gripper_closed"],
+    )
+
+    # --- berkeley_autolab_ur5 (ref transforms.py:578-619)
+    rs = np.zeros((t, 15), np.float32)
+    rs[:, :6] = rng.normal(size=(t, 6))
+    rs[:, 6:9] = rng.normal(size=(t, 3)) * 0.3
+    rs[:, 9:13] = _quats(t)
+    rs[:, 13] = rng.uniform(0, 1, size=t)
+    rs[:, 14] = rng.normal(size=t)
+    specs["berkeley_autolab_ur5"] = (
+        TR.berkeley_autolab_ur5_dataset_transform,
+        {
+            "observation": {
+                "robot_state": rs,
+                "image_with_depth": rng.uniform(0, 1, size=(t, 1)).astype(np.float32),
+                "natural_language_instruction": _mk_instr(t),
+            },
+            "action": {
+                "world_vector": rng.uniform(-1, 1, size=(t, 3)).astype(np.float32),
+                "rotation_delta": rng.uniform(-0.5, 0.5, size=(t, 3)).astype(np.float32),
+                "gripper_closedness_action": rng.uniform(-1, 1, size=t).astype(np.float32),
+            },
+        },
+        ["action", "language_action", f"observation{SEP}state"],
+    )
+
+    # --- furniture_bench (ref transforms.py:798-825)
+    fb_state = np.concatenate(
+        [
+            rng.normal(size=(t, 3)).astype(np.float32) * 0.3,
+            _quats(t),
+            rng.uniform(0, 0.09, size=(t, 1)).astype(np.float32),
+        ],
+        -1,
+    )
+    fb_act = rng.normal(size=(t, 7)).astype(np.float32)
+    fb_act[:, 6] = rng.uniform(-0.2, 1.2, size=t)  # probe the clip
+    specs["furniture_bench"] = (
+        TR.furniture_bench_dataset_transform,
+        {
+            "observation": {"state": fb_state},
+            "action": fb_act,
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}state"],
+    )
+
+    # --- austin_sailor / austin_sirius (ref transforms.py:869-926): matrix
+    # from the dedicated state_ee key, gripper from state's LAST column.
+    for sail in ("austin_sailor", "austin_sirius"):
+        st8 = rng.normal(size=(t, 8)).astype(np.float32)
+        st8[:, -1] = rng.uniform(0, 0.09, size=t)
+        sact = rng.normal(size=(t, 7)).astype(np.float32)
+        sact[:, 6] = rng.uniform(-0.2, 1.2, size=t)
+        specs[sail] = (
+            getattr(TR, f"{sail}_dataset_transform"),
+            {
+                "observation": {"state": st8, "state_ee": _se3_colmajor(t)},
+                "action": sact,
+                "language_instruction": _mk_instr(t),
+            },
+            ["action", "language_action", f"observation{SEP}state"],
+        )
+
+    # --- utaustin_mutex (ref transforms.py:1148-1182): matrix in state[-16:],
+    # gripper joint at state[:, 7].
+    mu_state = np.concatenate(
+        [
+            rng.normal(size=(t, 7)).astype(np.float32),
+            rng.uniform(0, 0.09, size=(t, 1)).astype(np.float32),
+            _se3_colmajor(t),
+        ],
+        -1,
+    )
+    mu_act = rng.normal(size=(t, 7)).astype(np.float32)
+    mu_act[:, 6] = rng.uniform(-0.2, 1.2, size=t)
+    specs["utaustin_mutex"] = (
+        TR.utaustin_mutex_dataset_transform,
+        {
+            "observation": {"state": mu_state},
+            "action": mu_act,
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}state"],
+    )
+
+    # --- molmoact (ref transforms.py:1184-1206)
+    mo_state = np.concatenate(
+        [eefs(), rng.uniform(0, 1, size=(t, 1)).astype(np.float32)], -1
+    )
+    mo_act = rng.normal(size=(t, 7)).astype(np.float32)
+    mo_act[:, 6] = rng.uniform(0, 1, size=t)
+    specs["molmoact"] = (
+        TR.molmoact_dataset_transform,
+        {
+            "observation": {"state": mo_state},
+            "action": mo_act,
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}state"],
+    )
+
+    # --- berkeley_fanuc (ref transforms.py:1209-1242): gripper comes from
+    # state[:, 6] with clip-after-invert ONLY in the state column.
+    fa_state = rng.normal(size=(t, 7)).astype(np.float32)
+    fa_state[:, 6] = rng.uniform(-0.2, 1.2, size=t)  # probe the clip split
+    specs["berkeley_fanuc"] = (
+        TR.berkeley_fanuc_dataset_transform,
+        {
+            "observation": {
+                "state": fa_state,
+                "end_effector_state": np.concatenate(
+                    [rng.normal(size=(t, 3)).astype(np.float32) * 0.3, _quats(t)], -1
+                ),
+            },
+            "action": rng.uniform(-1, 1, size=(t, 6)).astype(np.float32),
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}state"],
+    )
+
+    # --- fmb (ref transforms.py:1340-1367): BOTH grippers inverted; state
+    # gripper clipped after inversion, action gripper not.
+    fm_act = rng.normal(size=(t, 7)).astype(np.float32)
+    fm_act[:, 6] = rng.uniform(-0.2, 1.2, size=t)
+    specs["fmb"] = (
+        TR.fmb_dataset_transform,
+        {
+            "observation": {
+                "eef_pose": np.concatenate(
+                    [rng.normal(size=(t, 3)).astype(np.float32) * 0.3, _quats(t)], -1
+                ),
+                "state_gripper_pose": rng.uniform(-0.2, 1.2, size=t).astype(np.float32),
+            },
+            "action": fm_act,
+            "language_instruction": _mk_instr(t),
+        },
+        ["action", "language_action", f"observation{SEP}proprio"],
     )
 
     out = {}

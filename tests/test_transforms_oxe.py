@@ -180,16 +180,18 @@ FABRICATORS = {
     "ucsd_pick_and_place_dataset_converted_externally_to_rlds": lambda: _steps(
         {"image": IMGS, "state": _f(T, 7)}, _f(T, 4)
     ),
+    # sailor/sirius carry the EEF matrix in a dedicated state_ee key and the
+    # gripper joint in state's LAST column (reference transforms.py:869-926).
     "austin_sailor_dataset_converted_externally_to_rlds": lambda: _steps(
         {"image": IMGS, "wrist_image": IMGS,
-         "state": np.concatenate(
-             [_f(T, 8), np.tile(np.eye(4, dtype=np.float32).reshape(16), (T, 1))], -1)},
+         "state": _f(T, 8, lo=0, hi=0.08),
+         "state_ee": np.tile(np.eye(4, dtype=np.float32).reshape(16), (T, 1))},
         _f(T, 7),
     ),
     "austin_sirius_dataset_converted_externally_to_rlds": lambda: _steps(
         {"image": IMGS, "wrist_image": IMGS,
-         "state": np.concatenate(
-             [_f(T, 8), np.tile(np.eye(4, dtype=np.float32).reshape(16), (T, 1))], -1)},
+         "state": _f(T, 8, lo=0, hi=0.08),
+         "state_ee": np.tile(np.eye(4, dtype=np.float32).reshape(16), (T, 1))},
         _f(T, 7),
     ),
     "bc_z": lambda: _steps(
