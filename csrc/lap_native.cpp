@@ -12,6 +12,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o liblap_native.so lap_native.cpp -lpthread
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -29,10 +30,12 @@ extern "C" {
 // preserves aspect ratio (matches utils/image.resize_with_pad_np).
 static void resize_one(const uint8_t* src, int h, int w, int c,
                        uint8_t* dst, int out_h, int out_w) {
-    double ratio = std::max(static_cast<double>(h) / out_h,
-                            static_cast<double>(w) / out_w);
-    int rh = static_cast<int>(h / ratio);
-    int rw = static_cast<int>(w / ratio);
+    // float (not double) ratio math: matches the reference's TF fp32 scalar
+    // arithmetic, which differs by one output pixel for shapes like 64x48.
+    float ratio = std::max(static_cast<float>(h) / out_h,
+                           static_cast<float>(w) / out_w);
+    int rh = static_cast<int>(std::floor(static_cast<float>(h) / ratio));
+    int rw = static_cast<int>(std::floor(static_cast<float>(w) / ratio));
     int y0 = (out_h - rh) / 2;
     int x0 = (out_w - rw) / 2;
     std::memset(dst, 0, static_cast<size_t>(out_h) * out_w * c);

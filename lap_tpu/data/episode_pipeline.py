@@ -351,10 +351,21 @@ class EpisodePipeline:
         # bytes, ~30x smaller than decoded 224x224 uint8, so million-frame
         # buffers fit in host RAM. Only the rng-dependent rotation decision
         # is made here (it must be a pure function of the trajectory seed).
-        sample["_wrist_rotate"] = bool(
+        # Reference rotation cases (image_utils.py:293-375): regular samples
+        # rotate the wrist image; wrist-camera prediction pairs hold wrist
+        # frames in BOTH slots and rotate both with ONE decision;
+        # primary-camera prediction pairs rotate nothing.
+        rot = bool(
             cfg.needs_wrist_rotation
             and not (cfg.not_rotate_wrist_prob > 0 and rng.random() < cfg.not_rotate_wrist_prob)
         )
+        if not rot or (is_pred and pred_use_primary):
+            rotate_keys: tuple = ()
+        elif is_pred:
+            rotate_keys = (cfg.primary_image_key, cfg.wrist_image_key)
+        else:
+            rotate_keys = (cfg.wrist_image_key,)
+        sample["_rotate_keys"] = rotate_keys
         sample["has_wrist_image"] = _nonempty(sample["observation"].get(cfg.wrist_image_key))
         return sample
 
@@ -391,7 +402,9 @@ def make_image_decoder(
     from lap_tpu.utils.image import resize_with_pad_np
 
     def decode(sample: dict) -> dict:
-        rotate = bool(sample.pop("_wrist_rotate", False))
+        rotate_keys = tuple(sample.pop("_rotate_keys", ()))
+        if sample.pop("_wrist_rotate", False):  # legacy flag (tests, ckpts)
+            rotate_keys = rotate_keys or (wrist_image_key,)
         applied = False
         for key in (primary_image_key, wrist_image_key):
             raw = sample["observation"].get(key)
@@ -403,7 +416,7 @@ def make_image_decoder(
                 continue
             img = decode_image(raw)
             img = resize_with_pad_np(img, *resize_resolution)
-            if key == wrist_image_key and rotate:
+            if key in rotate_keys:
                 img = img[::-1, ::-1]  # 180-degree rotation
                 applied = True
             sample["observation"][key] = np.ascontiguousarray(img)

@@ -17,6 +17,19 @@ def convert_to_uint8(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def resized_geometry(h: int, w: int, height: int, width: int) -> tuple[int, int]:
+    """(resized_h, resized_w) for aspect-preserving resize into height x width.
+
+    Computed in float32 to match the reference's TF scalar math
+    (image_utils.py:192-208): fp64 rounds differently for shapes like
+    64x48 -> the reference gets 223x168 where fp64 gives 224x168, which
+    shifts every pixel below the off-by-one row.
+    """
+    hf, wf = np.float32(h), np.float32(w)
+    ratio = np.maximum(wf / np.float32(width), hf / np.float32(height))
+    return int(np.floor(hf / ratio)), int(np.floor(wf / ratio))
+
+
 def resize_with_pad_np(images: np.ndarray, height: int, width: int) -> np.ndarray:
     """Aspect-preserving resize + center zero-pad, batched or single.
 
@@ -40,8 +53,7 @@ def resize_with_pad_np(images: np.ndarray, height: int, width: int) -> np.ndarra
     if single:
         images = images[None]
     h, w = images.shape[-3], images.shape[-2]
-    ratio = max(h / height, w / width)
-    rh, rw = int(h / ratio), int(w / ratio)
+    rh, rw = resized_geometry(h, w, height, width)
     out = np.zeros((*images.shape[:-3], height, width, images.shape[-1]), dtype=images.dtype)
     y0 = (height - rh) // 2
     x0 = (width - rw) // 2

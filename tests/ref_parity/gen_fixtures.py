@@ -805,6 +805,64 @@ def gen_dataset_suite():
     print(f"datasets.npz: {len(out)} arrays")
 
 
+# ---------------------------------------------------------------------------
+# Suite 5: image decode / resize-with-pad / wrist-rotation cases
+# ---------------------------------------------------------------------------
+
+
+def gen_image_suite():
+    from lap.datasets.utils import image_utils as IU
+
+    rng = np.random.default_rng(77)
+    decode = IU.make_decode_images_fn(
+        primary_key="base", wrist_key="wrist", resize_to=(224, 224)
+    )
+
+    out = {}
+
+    # resize-with-pad numerics over aspect ratios / up+downscaling
+    for i, (h, w) in enumerate([(64, 48), (100, 224), (224, 224), (31, 57), (480, 640)]):
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        traj = {"observation": {"base": tf.constant(img), "wrist": tf.constant(img)}}
+        res = decode(dict(traj))
+        out[f"resize{i}{SEP}in"] = img
+        out[f"resize{i}{SEP}out"] = res["observation"]["base"].numpy()
+
+    # PNG byte decode path (lossless -> exact across decoders)
+    img = rng.integers(0, 256, size=(96, 128, 3)).astype(np.uint8)
+    png = tf.io.encode_png(tf.constant(img)).numpy()
+    res = decode({"observation": {"base": tf.constant(png), "wrist": tf.constant(png)}})
+    out[f"png{SEP}in"] = np.frombuffer(png, np.uint8)
+    out[f"png{SEP}out"] = res["observation"]["base"].numpy()
+
+    # rotation cases (needs_wrist_rotation x prediction flags); the decode fn
+    # runs eagerly so the reference's python-truthiness branches execute.
+    base = rng.integers(0, 256, size=(64, 48, 3)).astype(np.uint8)
+    wrist = rng.integers(0, 256, size=(64, 48, 3)).astype(np.uint8)
+    cases = {
+        "regular_rot": dict(needs=True, pred=False, prim=False),
+        "regular_norot": dict(needs=False, pred=False, prim=False),
+        "pred_wrist_rot": dict(needs=True, pred=True, prim=False),
+        "pred_primary": dict(needs=True, pred=True, prim=True),
+    }
+    for name, c in cases.items():
+        traj = {
+            "observation": {"base": tf.constant(base), "wrist": tf.constant(wrist)},
+            "needs_wrist_rotation": tf.constant(c["needs"]),
+            "is_prediction_sample": tf.constant(c["pred"]),
+            "pred_use_primary": tf.constant(c["prim"]),
+        }
+        res = decode(traj)
+        out[f"rot{SEP}{name}{SEP}base"] = res["observation"]["base"].numpy()
+        out[f"rot{SEP}{name}{SEP}wrist"] = res["observation"]["wrist"].numpy()
+        out[f"rot{SEP}{name}{SEP}applied"] = np.asarray(bool(res["rotation_applied"]))
+    out[f"rot{SEP}in_base"] = base
+    out[f"rot{SEP}in_wrist"] = wrist
+
+    np.savez(OUT / "images.npz", **out)
+    print(f"images.npz: {len(out)} arrays")
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     sum_actions = _extract_base_dataset_fns()
@@ -812,6 +870,7 @@ def main():
     gen_helpers_suite()
     gen_langact_suite(sum_actions)
     gen_dataset_suite()
+    gen_image_suite()
     print("done:", sorted(p.name for p in OUT.iterdir()))
 
 
