@@ -15,10 +15,17 @@ import re
 import numpy as np
 
 # (axis index, positive phrase, negative phrase), metres -> cm.
+# Numeric summaries emit x, z, y; the no_number style emits x, y, z —
+# matching the reference's two branches (action_text.py:83-139).
 _TRANSLATION_TABLE = (
     (0, "move forward", "move back"),
     (2, "move up", "move down"),
     (1, "move left", "move right"),
+)
+_TRANSLATION_TABLE_NO_NUMBER = (
+    (0, "move forward", "move back"),
+    (1, "move left", "move right"),
+    (2, "move up", "move down"),
 )
 # Rotation axes in radians -> degrees. NOTE: the textual convention for pitch
 # is inverted between summarize (tilt back = +pitch) and parse (tilt back =
@@ -94,7 +101,10 @@ def summarize_numeric_actions(
 
     sums = arr.sum(axis=0)
     parts: list[str] = []
-    for axis, pos_word, neg_word in _TRANSLATION_TABLE:
+    table = (
+        _TRANSLATION_TABLE_NO_NUMBER if sum_decimal == "no_number" else _TRANSLATION_TABLE
+    )
+    for axis, pos_word, neg_word in table:
         raw_m = float(sums[axis])
         mag_cm = abs(raw_m * 100.0)
         if sum_decimal == "no_number":

@@ -863,6 +863,181 @@ def gen_image_suite():
     print(f"images.npz: {len(out)} arrays")
 
 
+# ---------------------------------------------------------------------------
+# Suite 6: language-action text codecs, frame transforms, prompt formats
+# ---------------------------------------------------------------------------
+
+PARSE_TEXTS = [
+    "move forward 5 cm, tilt left 10 degrees, close gripper",
+    "move back 2 cm, move up 12 cm, rotate clockwise 20 degrees, open gripper",
+    "move left 3.5 cm, move down 1 cm, tilt forward 15 degrees, close gripper",
+    "move right slightly, open gripper",
+    "move up moderately, tilt back 30 degrees, close gripper",
+    "move forward a lot, rotate counterclockwise 45 degrees, open gripper",
+    "set gripper to 0.5",
+    "stay still",
+    "move backward 4 cm, close gripper",
+    "<+05 -02 +00 +10 -20 +30 1>",
+    "<-12 +07 -03 +00 +05 -10 0>",
+    "open gripper",
+    "move forward 0 cm, close gripper",
+]
+
+FRAME_DATASETS = [
+    "droid",
+    "jaco_play",
+    "berkeley_autolab_ur5",
+    "furniture_bench_dataset_converted_externally_to_rlds",
+    "austin_buds_dataset_converted_externally_to_rlds",
+    "fmb",
+    "viola",
+    "generic_dataset",
+]
+
+
+def gen_policy_suite():
+    import importlib
+
+    for _name, _path in [
+        ("lap.policies", REF + "/lap/policies"),
+        ("lap.policies.transforms", REF + "/lap/policies/transforms"),
+        ("lap.models", REF + "/lap/models"),
+        ("lap.models.prompt_utils", REF + "/lap/models/prompt_utils"),
+    ]:
+        if _name not in sys.modules:
+            _m = types.ModuleType(_name)
+            _m.__path__ = [_path]
+            sys.modules[_name] = _m
+
+    AT = importlib.import_module("lap.policies.transforms.action_text")
+    LF = importlib.import_module("lap.policies.lang_action_formats")
+    FT = importlib.import_module("lap.policies.transforms.frame_transforms")
+    PR = importlib.import_module("lap.models.prompt_utils.prompt")
+
+    rng = np.random.default_rng(99)
+    out = {}
+
+    # ---- action summaries: controlled windows through every style --------
+    windows = []
+    for _ in range(6):
+        w = rng.normal(size=(4, 7)) * 0.05
+        w[:, 6] = rng.integers(0, 2, size=4)
+        windows.append(w)
+    w = np.zeros((3, 7))
+    w[:, 2] = 0.004
+    w[-1, 6] = 1
+    windows.append(w)  # idle-scale, exact-zero x/y
+    w = np.zeros((1, 7))
+    w[0, 0] = -0.123
+    windows.append(w)  # single step, negative x only
+    windows = [w.astype(np.float64) for w in windows]
+
+    verbose_texts = []
+    for i, w in enumerate(windows):
+        out[f"win{i}"] = w
+        for sd in ("0f", "1f", "2f", "compact", "no_number"):
+            for rot_flag in (False, True):
+                s = AT.summarize_numeric_actions(w, sd, include_rotation=rot_flag)
+                out[f"sum{SEP}{i}{SEP}{sd}{SEP}{int(rot_flag)}"] = np.array(
+                    s if s is not None else "<NONE>"
+                )
+                if sd == "0f" and rot_flag:
+                    verbose_texts.append(s)
+        bi = AT.summarize_bimanual_numeric_actions(
+            np.concatenate([w, w[:, ::-1][:, :7]], -1), "0f", include_rotation=True
+        )
+        out[f"bimanual{SEP}{i}"] = np.array(bi if bi is not None else "<NONE>")
+
+    for i, s in enumerate(verbose_texts):
+        d = AT.describe_language_action_scale(s)
+        out[f"scale{SEP}{i}"] = np.array(d if d is not None else "<NONE>")
+        for sd in ("0f", "compact"):
+            out[f"idle{SEP}{i}{SEP}{sd}"] = np.asarray(
+                AT.is_idle_language_action(s, sd, include_rotation=True)
+            )
+
+    # ---- parsing back to deltas ------------------------------------------
+    state7 = np.array([0.1, -0.2, 0.3, 0.4, -0.5, 0.6, 1.0])
+    for i, text in enumerate(PARSE_TEXTS):
+        out[f"parse_in{SEP}{i}"] = np.array(text)
+        for fmt_name in ("verbose_with_rotation", "verbose_eef_with_rotation"):
+            fmt = LF.get_language_action_format(fmt_name)
+            kwargs = {"initial_state": _demo_rot6d_state()} if fmt.use_eef_frame else {}
+            movement, grip = fmt.parse_language_to_deltas(text, **kwargs)
+            out[f"parse{SEP}{fmt_name}{SEP}{i}{SEP}mov"] = np.asarray(movement, np.float64)
+            out[f"parse{SEP}{fmt_name}{SEP}{i}{SEP}grip"] = np.asarray(
+                np.nan if grip is None else float(grip)
+            )
+
+    # ---- VLA0 round-trip --------------------------------------------------
+    vla0 = LF.VLA0ActionFormat(action_horizon=2, action_dim=7)
+    acts = rng.uniform(-1.2, 1.2, size=(2, 7))
+    out["vla0_in"] = acts
+    s = vla0.summarize_actions(acts)
+    out["vla0_text"] = np.array(s)
+    out["vla0_full"] = np.asarray(vla0.parse_to_full_actions(s), np.float64)
+
+    # ---- EEF frame transforms with per-dataset flips ----------------------
+    st = _demo_rot6d_state()
+    out["ft_state"] = st
+    act1 = np.array([0.03, -0.02, 0.05, 0.2, -0.1, 0.15, 1.0])
+    actk = rng.normal(size=(3, 7)) * np.array([0.05] * 3 + [0.2] * 3 + [0.0]) + np.array([0.0] * 6 + [1.0])
+    out["ft_act1"] = act1
+    out["ft_actk"] = actk
+    for name in FRAME_DATASETS:
+        for rotflag in (False, True):
+            to = FT.transform_actions_to_eef_frame(act1, st, name, needs_wrist_rotation=rotflag)
+            out[f"ft{SEP}to{SEP}{name}{SEP}{int(rotflag)}"] = np.asarray(to, np.float64)
+        back = FT.transform_actions_from_eef_frame(actk, st, dataset_name=name)
+        out[f"ft{SEP}from{SEP}{name}"] = np.asarray(back, np.float64)
+    # 7-dim euler state path of from_eef
+    st7 = np.array([0.1, 0.2, 0.3, 0.5, -0.4, 0.9, 1.0])
+    out[f"ft{SEP}from_euler7"] = np.asarray(
+        FT.transform_actions_from_eef_frame(actk, st7, dataset_name="droid"), np.float64
+    )
+
+    # ---- prompt formats ---------------------------------------------------
+    state = np.zeros(32)
+    state[:10] = np.array([0.1, -0.99, 0.5, 0.0, 0.25, -0.5, 0.77, 1.0, -1.0, 0.3])
+    prompts = ["pick up the red_block.", "  wipe  the table\nnow ", "stack bowls"]
+    for reg_name, registry in (
+        ("fmt", PR.PROMPT_FORMAT_REGISTRY),
+        ("pred", PR.PREDICTION_PROMPT_FORMAT_REGISTRY),
+    ):
+        for fmt_name, fmt in registry.items():
+            for i, p in enumerate(prompts):
+                s = fmt.format_prompt(
+                    p,
+                    state=state if fmt.include_state else None,
+                    state_type="eef_pose",
+                    time_horizon_seconds=0.8,
+                )
+                out[f"prompt{SEP}{reg_name}{SEP}{fmt_name}{SEP}{i}"] = np.array(s)
+    # state trimming edge: all-zero state and short state
+    lap_fmt = PR.PROMPT_FORMAT_REGISTRY["lap"]
+    out[f"prompt{SEP}zero_state"] = np.array(
+        lap_fmt.format_prompt("push", state=np.zeros(32), state_type="eef_pose")
+    )
+
+    np.savez(OUT / "policies.npz", **out)
+    print(f"policies.npz: {len(out)} arrays")
+
+
+def _demo_rot6d_state():
+    """state [10]: pos(3) + rot6d(6) + gripper, rot6d from a fixed rotation."""
+    import math
+
+    a, b, c = 0.3, -0.7, 1.1
+    Rx = np.array([[1, 0, 0], [0, math.cos(a), -math.sin(a)], [0, math.sin(a), math.cos(a)]])
+    Ry = np.array([[math.cos(b), 0, math.sin(b)], [0, 1, 0], [-math.sin(b), 0, math.cos(b)]])
+    Rz = np.array([[math.cos(c), -math.sin(c), 0], [math.sin(c), math.cos(c), 0], [0, 0, 1]])
+    m = Rz @ Ry @ Rx
+    # rot6d = first two COLUMNS stacked (rot6d_to_rotmat convention: b1, b2
+    # are the first two basis vectors)
+    r6 = np.concatenate([m[:, 0], m[:, 1]])
+    return np.concatenate([[0.1, -0.2, 0.35], r6, [1.0]])
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     sum_actions = _extract_base_dataset_fns()
@@ -871,6 +1046,7 @@ def main():
     gen_langact_suite(sum_actions)
     gen_dataset_suite()
     gen_image_suite()
+    gen_policy_suite()
     print("done:", sorted(p.name for p in OUT.iterdir()))
 
 
