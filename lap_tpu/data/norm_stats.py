@@ -133,8 +133,11 @@ def merge_norm_stats(stats_list: list, dim: int):
         std=np.sqrt(var).astype(np.float32),
         q01=np.min([pad(s.q01) for s in members], axis=0).astype(np.float32),
         q99=np.max([pad(s.q99) for s in members], axis=0).astype(np.float32),
-        min=np.min([pad(s.min, np.inf) for s in members], axis=0).astype(np.float32),
-        max=np.max([pad(s.max, -np.inf) for s in members], axis=0).astype(np.float32),
+        # Reference semantics (statistics.py:224-229): min/max are ZERO-padded
+        # for dims a member lacks, so the global envelope saturates at 0
+        # wherever short members dominate (padded action dims stay 0 anyway).
+        min=np.min([pad(s.min) for s in members], axis=0).astype(np.float32),
+        max=np.max([pad(s.max) for s in members], axis=0).astype(np.float32),
         num_transitions=int(total),
     )
 

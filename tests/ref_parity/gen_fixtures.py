@@ -1038,6 +1038,87 @@ def _demo_rot6d_state():
     return np.concatenate([[0.1, -0.2, 0.35], r6, [1.0]])
 
 
+# ---------------------------------------------------------------------------
+# Suite 7: global normalization statistics merge
+# ---------------------------------------------------------------------------
+
+
+def gen_stats_suite():
+    import importlib
+
+    # Stub lap.shared.normalize_adapter.ExtendedNormStats (pydantic model in
+    # the real package; the builder only constructs it and reads attributes).
+    class _NS:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    shared = types.ModuleType("lap.shared")
+    shared.__path__ = [REF + "/lap/shared"]
+    adapter = types.ModuleType("lap.shared.normalize_adapter")
+    adapter.ExtendedNormStats = _NS
+    sys.modules["lap.shared"] = shared
+    sys.modules["lap.shared.normalize_adapter"] = adapter
+
+    ST = importlib.import_module("lap.datasets.utils.statistics")
+
+    rng = np.random.default_rng(7)
+
+    def member(dim, n, traj, *, positive_envelope=False):
+        # positive_envelope: min > 0 and max < 0 at every dim — exposes the
+        # reference's ZERO-padding of min/max for dims a member lacks
+        # (statistics.py:224-229 pads with 0.0, so the global envelope
+        # saturates at 0 wherever short members dominate).
+        lo = rng.uniform(0.5, 1.0, size=dim) if positive_envelope else rng.uniform(-6, -4, size=dim)
+        hi = rng.uniform(-1.0, -0.5, size=dim) if positive_envelope else rng.uniform(4, 6, size=dim)
+        return _NS(
+            mean=rng.normal(size=dim).astype(np.float32),
+            std=rng.uniform(0.1, 2.0, size=dim).astype(np.float32),
+            q01=rng.uniform(-3, -1, size=dim).astype(np.float32),
+            q99=rng.uniform(1, 3, size=dim).astype(np.float32),
+            min=lo.astype(np.float32),
+            max=hi.astype(np.float32),
+            num_transitions=n,
+            num_trajectories=traj,
+        )
+
+    # Mixed native dims exercise the pad (7->12) and truncate (14->12) paths;
+    # delta's positive envelope exposes the min/max zero-padding at dims
+    # 10-11, which only it covers.
+    stats = {
+        "alpha": {"actions": member(7, 1000, 10), "state": member(7, 1000, 10)},
+        "beta": {"actions": member(7, 250, 5), "state": member(7, 250, 5)},
+        "gamma": {"actions": member(10, 4000, 40), "state": member(10, 4000, 40)},
+        "delta": {
+            "actions": member(14, 50, 2, positive_envelope=True),
+            "state": member(14, 50, 2, positive_envelope=True),
+        },
+        "vqa_ds": {"actions": member(7, 999, 9), "state": member(7, 999, 9)},
+    }
+    encodings = {"alpha": "POS_EULER", "beta": "JOINT", "gamma": "POS_EULER", "delta": "JOINT"}
+
+    builder = ST.GlobalStatisticsBuilder(action_dim=12, state_dim=10)
+    result = builder.compute_global_stats(
+        stats,
+        encodings,
+        vqa_dataset_names={"vqa_ds"},
+        state_encoding_to_type_fn=lambda e: {"POS_EULER": "eef_pose", "JOINT": "joint_pos"}[e],
+    )
+
+    out = {}
+    for name, mem in stats.items():
+        for part in ("actions", "state"):
+            s = mem[part]
+            for f in ("mean", "std", "q01", "q99", "min", "max"):
+                out[f"in{SEP}{name}{SEP}{part}{SEP}{f}"] = getattr(s, f)
+            out[f"in{SEP}{name}{SEP}{part}{SEP}n"] = np.asarray(s.num_transitions)
+    for group, s in result.items():
+        for f in ("mean", "std", "q01", "q99", "min", "max"):
+            out[f"out{SEP}{group}{SEP}{f}"] = np.asarray(getattr(s, f))
+        out[f"out{SEP}{group}{SEP}n"] = np.asarray(s.num_transitions)
+    np.savez(OUT / "stats.npz", **out)
+    print(f"stats.npz: {len(out)} arrays, groups={sorted(result)}")
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     sum_actions = _extract_base_dataset_fns()
@@ -1047,6 +1128,7 @@ def main():
     gen_dataset_suite()
     gen_image_suite()
     gen_policy_suite()
+    gen_stats_suite()
     print("done:", sorted(p.name for p in OUT.iterdir()))
 
 
