@@ -1019,6 +1019,43 @@ def gen_policy_suite():
         lap_fmt.format_prompt("push", state=np.zeros(32), state_type="eef_pose")
     )
 
+    # ---- CoTOutputs end-to-end (serving output parsing) -------------------
+    OT = importlib.import_module("lap.policies.transforms.output_transforms")
+
+    class _NS:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    reasoning = "move forward 5 cm, move left 2 cm, tilt right 15 degrees, close gripper"
+    raw_state = _demo_rot6d_state()
+    out["cot_raw_state"] = raw_state
+    for fmt_name in ("verbose_with_rotation", "verbose_eef_with_rotation"):
+        t = OT.CoTOutputs(language_action_format=fmt_name)
+        res = t({"actions": np.zeros(1), "reasoning": reasoning, "raw_state": raw_state})
+        out[f"cot{SEP}standard{SEP}{fmt_name}"] = np.asarray(res["actions"], np.float64)
+    stats = {
+        "actions": _NS(
+            mean=rng.normal(size=7).astype(np.float32),
+            std=rng.uniform(0.1, 1.0, size=7).astype(np.float32),
+            q01=rng.uniform(-2, -1, size=7).astype(np.float32),
+            q99=rng.uniform(1, 2, size=7).astype(np.float32),
+            min=rng.uniform(-4, -3, size=7).astype(np.float32),
+            max=rng.uniform(3, 4, size=7).astype(np.float32),
+        )
+    }
+    for f in ("mean", "std", "q01", "q99", "min", "max"):
+        out[f"cot_stats{SEP}{f}"] = getattr(stats["actions"], f)
+    vla0_text = str(out["vla0_text"])
+    for norm in ("bounds_q99", "bounds", "normal"):
+        t = OT.CoTOutputs(
+            language_action_format=LF.VLA0ActionFormat(action_horizon=2, action_dim=7),
+            norm_stats=stats,
+            normalization_type=norm,
+            transform_strategy="vla0",
+        )
+        res = t({"actions": np.zeros(1), "reasoning": vla0_text})
+        out[f"cot{SEP}vla0{SEP}{norm}"] = np.asarray(res["actions"], np.float64)
+
     np.savez(OUT / "policies.npz", **out)
     print(f"policies.npz: {len(out)} arrays")
 
