@@ -402,11 +402,15 @@ class QuestionConfig:
 _FORMATTERS = {
     AnswerFormat.VERBOSE: (format_delta_motion_verbose, False),
     AnswerFormat.VERBOSE_WITH_ROTATION: (format_delta_motion_verbose, True),
+    # None = rotation included only when significant (>= 5 deg on any axis);
+    # the reference's dynamic set is EXACTLY component/json/qualitative
+    # (question_types.py:707-715) — sentence and direction_only never
+    # include rotation.
     AnswerFormat.QUALITATIVE: (format_delta_motion_qualitative, None),
     AnswerFormat.COMPONENT: (format_delta_motion_component, None),
     AnswerFormat.JSON: (format_delta_motion_json, None),
-    AnswerFormat.SENTENCE: (format_delta_motion_sentence, None),
-    AnswerFormat.DIRECTION_ONLY: (format_delta_motion_direction_only, None),
+    AnswerFormat.SENTENCE: (format_delta_motion_sentence, False),
+    AnswerFormat.DIRECTION_ONLY: (format_delta_motion_direction_only, False),
 }
 
 

@@ -1056,6 +1056,30 @@ def gen_policy_suite():
         res = t({"actions": np.zeros(1), "reasoning": vla0_text})
         out[f"cot{SEP}vla0{SEP}{norm}"] = np.asarray(res["actions"], np.float64)
 
+    # ---- prediction-question answer formats -------------------------------
+    QT = importlib.import_module("lap.policies.question_types")
+
+    qt_deltas = [
+        (3.2, -2.1, 0.0, 0.0, 0.0, 0.0, "open gripper"),
+        (-1.4, 0.6, 5.5, 12.0, -8.0, 25.0, "close gripper"),
+        (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, ""),
+        (0.4, -0.4, 0.2, 3.0, -4.0, 2.0, "open gripper"),  # sub-threshold
+        (10.0, 10.0, -10.0, -45.0, 45.0, 90.0, "close gripper"),
+        (2.0, 0.0, -3.0, 6.0, 0.0, -5.0, "keep gripper unchanged"),
+    ]
+    for i, d in enumerate(qt_deltas):
+        out[f"qt_in{SEP}{i}"] = np.asarray(d[:6], np.float64)
+        out[f"qt_grip{SEP}{i}"] = np.array(d[6])
+        for af in QT.AnswerFormat:
+            s = QT.format_delta_motion(*d[:6], gripper_action=d[6], answer_format=af)
+            out[f"qt{SEP}{i}{SEP}{af.value}"] = np.array(s)
+        out[f"qt_dom{SEP}{i}"] = np.array(QT.compute_dominant_directions(d[0], d[1], d[2]))
+        out[f"qt_mag{SEP}{i}"] = np.array(QT.compute_motion_magnitude(d[0], d[1], d[2]))
+    for i, (a, b) in enumerate([(0.0, 1.0), (1.0, 0.0), (0.3, 0.4), (0.9, 0.95)]):
+        out[f"qt_gchange{SEP}{i}"] = np.array(QT.compute_gripper_change(a, b))
+    for i, name in enumerate(["droid_100", "fractal20220817_data", "bc_z", "unknown_robot"]):
+        out[f"qt_embod{SEP}{i}"] = np.array(QT.get_embodiment_name(name))
+
     np.savez(OUT / "policies.npz", **out)
     print(f"policies.npz: {len(out)} arrays")
 
