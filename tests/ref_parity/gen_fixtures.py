@@ -1080,6 +1080,42 @@ def gen_policy_suite():
     for i, name in enumerate(["droid_100", "fractal20220817_data", "bc_z", "unknown_robot"]):
         out[f"qt_embod{SEP}{i}"] = np.array(QT.get_embodiment_name(name))
 
+    # ---- ActionProcessor orchestration (random_base_prob=0 -> deterministic)
+    AP = importlib.import_module("lap.policies.transforms.action_processor")
+    la1 = np.array([0.03, -0.02, 0.05, 0.2, -0.1, 0.15, 1.0])
+    la14 = np.concatenate([la1, la1[::-1][:7]])
+    ap_cases = {
+        "eef_droid_rot": (
+            AP.ActionProcessor(LF.get_language_action_format("verbose_eef_with_rotation")),
+            {"language_actions": la1, "has_wrist_image": True},
+            dict(initial_state=_demo_rot6d_state(), dataset_name="droid", rotation_applied=True),
+        ),
+        "eef_droid_norot": (
+            AP.ActionProcessor(LF.get_language_action_format("verbose_eef_with_rotation")),
+            {"language_actions": la1, "has_wrist_image": True},
+            dict(initial_state=_demo_rot6d_state(), dataset_name="droid", rotation_applied=False),
+        ),
+        "base_verbose": (
+            AP.ActionProcessor(LF.get_language_action_format("verbose_with_rotation")),
+            {"language_actions": la1},
+            dict(initial_state=None, dataset_name="bridge"),
+        ),
+        "bimanual": (
+            AP.ActionProcessor(LF.get_language_action_format("verbose_with_rotation")),
+            {"language_actions": la14, "is_bimanual": True},
+            dict(),
+        ),
+        "navigation": (
+            AP.ActionProcessor(LF.get_language_action_format("verbose_with_rotation")),
+            {"language_actions": np.array([0.31, -0.12, 0.0, 0.0, 0.0, 0.6, 1.0]), "is_navigation": True},
+            dict(),
+        ),
+    }
+    for name, (proc, data, kw) in ap_cases.items():
+        text, frame = proc.summarize_language_actions(data, **kw)
+        out[f"ap{SEP}{name}{SEP}text"] = np.array(text if text is not None else "<NONE>")
+        out[f"ap{SEP}{name}{SEP}frame"] = np.array(frame)
+
     np.savez(OUT / "policies.npz", **out)
     print(f"policies.npz: {len(out)} arrays")
 
