@@ -71,6 +71,9 @@ def get_config(variant: Variant) -> Config:
     if variant == "gemma_300m_lora":
         cfg = lora.LoRAConfig(rank=32, alpha=32.0)
         return Config(**base["gemma_300m"], lora_configs={"attn": cfg, "ffn": cfg})
+    if variant == "dummy_lora":  # CPU-testable LoRA path
+        cfg = lora.LoRAConfig(rank=4, alpha=4.0)
+        return Config(**base["dummy"], lora_configs={"attn": cfg, "ffn": cfg})
     raise ValueError(f"Unknown gemma variant: {variant}")
 
 
