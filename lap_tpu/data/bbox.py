@@ -39,11 +39,14 @@ def loc_tokens_to_bbox(text: str, num_bins: int = NUM_LOC_BINS) -> np.ndarray | 
 
 
 def letterbox_bbox(bbox: np.ndarray, src_h: int, src_w: int, dst: int = 224) -> np.ndarray:
-    """Map a normalized bbox through resize-with-pad to the padded frame."""
+    """Map a normalized bbox through resize-with-pad to the padded frame.
+
+    Integer-floored resized dims + float half-pads: exactly the reference's
+    transform_bbox_for_letterbox (coord_utils.py:161-204)."""
     bbox = np.asarray(bbox, dtype=np.float64)  # [y0, x0, y1, x1] normalized
     ratio = max(src_h / dst, src_w / dst)
-    rh, rw = src_h / ratio, src_w / ratio
-    y_off, x_off = (dst - rh) / 2, (dst - rw) / 2
+    rh, rw = int(src_h / ratio), int(src_w / ratio)
+    y_off, x_off = (dst - rh) / 2.0, (dst - rw) / 2.0
     ys = (bbox[[0, 2]] * rh + y_off) / dst
     xs = (bbox[[1, 3]] * rw + x_off) / dst
     return np.array([ys[0], xs[0], ys[1], xs[1]])

@@ -1116,6 +1116,40 @@ def gen_policy_suite():
         out[f"ap{SEP}{name}{SEP}text"] = np.array(text if text is not None else "<NONE>")
         out[f"ap{SEP}{name}{SEP}frame"] = np.array(frame)
 
+    # ---- bbox letterbox / loc-token utilities -----------------------------
+    for _name, _path in [
+        ("lap.datasets.vqa", REF + "/lap/datasets/vqa"),
+        ("lap.datasets.vqa.bbox", REF + "/lap/datasets/vqa/bbox"),
+    ]:
+        if _name not in sys.modules:
+            _m = types.ModuleType(_name)
+            _m.__path__ = [_path]
+            sys.modules[_name] = _m
+    CU = importlib.import_module("lap.datasets.vqa.bbox.coord_utils")
+
+    bb_cases = [
+        # (bbox xyxy normalized, orig_w, orig_h)
+        ([0.1, 0.2, 0.6, 0.9], 640, 480),
+        ([0.0, 0.0, 1.0, 1.0], 100, 300),
+        ([0.25, 0.4, 0.3, 0.45], 57, 31),
+        ([0.5, 0.1, 0.95, 0.35], 224, 224),
+    ]
+    for i, (bb, w, h) in enumerate(bb_cases):
+        out[f"bb_in{SEP}{i}"] = np.asarray(bb + [w, h], np.float64)
+        lb = CU.transform_bbox_for_letterbox(bb[0], bb[1], bb[2], bb[3], w, h, 224, 224)
+        out[f"bb_letter{SEP}{i}"] = np.asarray(lb, np.float64)
+        out[f"bb_loc{SEP}{i}"] = np.array(CU.bbox_to_loc_tokens(*lb))
+        rot = CU.rotate_bbox_loc_tokens_180_tf(tf.constant(CU.bbox_to_loc_tokens(*lb)))
+        out[f"bb_rot{SEP}{i}"] = np.array(rot.numpy().decode())
+    objs = [
+        {"label": "red block", "bbox": [0.1, 0.2, 0.6, 0.9]},
+        {"label": "bowl", "bbox": [0.5, 0.1, 0.95, 0.35]},
+        {"label": "red block", "bbox": [0.0, 0.0, 0.2, 0.2]},
+    ]
+    labels, caption = CU.format_bbox_caption(objs, 640, 480, 224, 224)
+    out["bb_caption_labels"] = np.array(labels)
+    out["bb_caption"] = np.array(caption)
+
     np.savez(OUT / "policies.npz", **out)
     print(f"policies.npz: {len(out)} arrays")
 
