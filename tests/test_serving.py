@@ -121,3 +121,83 @@ def test_websocket_roundtrip():
     assert result2["actions"].shape == (TINY.action_horizon, TINY.action_dim)
     client.close()
     loop.call_soon_threadsafe(loop.stop)
+
+
+# ---------------------------------------------------------------------------
+# AR (language-action) policy path
+# ---------------------------------------------------------------------------
+
+
+def _build_ar_policy():
+    from lap_tpu.policies.model_transforms import DetokenizeReasoning
+    from lap_tpu.policies.output_transforms import CoTOutputs
+    from lap_tpu.policies.policy import ARPolicy
+
+    model = TINY.create_module()
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+    )
+    tokenizer = PaligemmaTokenizer(max_len=TINY.max_token_len)
+    norm_stats = {
+        "state": NormStats(mean=np.zeros(7), std=np.ones(7)),
+        "actions": NormStats(mean=np.zeros(7), std=np.ones(7)),
+    }
+    input_transforms = [
+        InjectDefaultPrompt("do something"),
+        CoTInputs(action_dim=TINY.action_dim, language_action_format="verbose_with_rotation"),
+        Normalize(norm_stats, normalization_type="normal"),
+        PadStates(TINY.action_dim),
+        TokenizePromptAndReasoning(tokenizer=tokenizer, discrete_state_input=True),
+    ]
+    output_transforms = [
+        DetokenizeReasoning(tokenizer),
+        CoTOutputs(language_action_format="verbose_with_rotation"),
+    ]
+    return ARPolicy(
+        model,
+        params,
+        input_transforms=input_transforms,
+        output_transforms=output_transforms,
+        max_decoding_steps=8,
+        metadata={"model": "tiny-lap-ar"},
+    )
+
+
+def test_ar_policy_infer_end_to_end():
+    """sample_tokens -> detokenize -> regex parse -> action deltas. The
+    random model emits arbitrary tokens, so we assert structure: a [6] or
+    [7] action vector of finite deltas, a (possibly empty) reasoning
+    string, and timing (reference ARPolicy contract, policy_adapter.py)."""
+    policy = _build_ar_policy()
+    result = policy.infer(_obs())
+    actions = np.asarray(result["actions"])
+    assert actions.shape in ((6,), (7,))
+    assert np.isfinite(actions).all()
+    assert "reasoning" in result
+    assert result["policy_timing"]["infer_ms"] > 0
+    # Consecutive calls advance the sampling rng / decode step without error.
+    result2 = policy.infer(_obs())
+    assert np.isfinite(np.asarray(result2["actions"])).all()
+
+
+def test_ar_policy_over_websocket():
+    policy = _build_ar_policy()
+    server = WebsocketPolicyServer(policy, host="127.0.0.1", port=18474)
+
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.run())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(0.5)
+    client = WebsocketClientPolicy(host="127.0.0.1", port=18474)
+    assert client.get_server_metadata() == {"model": "tiny-lap-ar"}
+    result = client.infer(_obs())
+    assert np.isfinite(np.asarray(result["actions"])).all()
+    client.close()
+    loop.call_soon_threadsafe(loop.stop)
