@@ -78,6 +78,8 @@ def _canonical(
             axis=-1,
         )
     language_action = np.asarray(language_action, np.float32)
+    if base_imgs is None:  # camera-less fixtures / datasets
+        base_imgs = [b""] * t
     if wrist_imgs is None:
         wrist_imgs = [b""] * t
     return {
@@ -265,6 +267,8 @@ def _canonical_delta(
             [np.asarray(eef_state, np.float32), np.asarray(gripper_state, np.float32)],
             axis=-1,
         )
+    if base_imgs is None:  # camera-less fixtures / datasets
+        base_imgs = [b""] * t
     if wrist_imgs is None:
         wrist_imgs = [b""] * t
     return {
@@ -704,7 +708,9 @@ def gnm_dataset_transform(episode: dict) -> dict:
     t = len(pos)
     eef = np.concatenate([pos[:, :2], np.zeros((t, 1), np.float32),
                           np.zeros((t, 2), np.float32), yaw], axis=-1)
-    grip = np.ones((t, 1), np.float32)
+    # Reference (transforms.py:1312-1335): the gripper column is ZERO for
+    # navigation robots (no gripper), in state, action, and language_action.
+    grip = np.zeros((t, 1), np.float32)
     return _canonical(
         base_imgs=obs.get("image"),
         wrist_imgs=None,

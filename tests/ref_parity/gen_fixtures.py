@@ -1250,6 +1250,65 @@ def gen_stats_suite():
     print(f"stats.npz: {len(out)} arrays, groups={sorted(result)}")
 
 
+# ---------------------------------------------------------------------------
+# Suite 8: long-tail dataset sweep — drive the reference's registered
+# standardization fns with the SAME fabricated raw episodes the repo's own
+# transform tests use (tests/test_transforms_oxe.py FABRICATORS).
+# ---------------------------------------------------------------------------
+
+# Already golden-tested with hand-built inputs in gen_dataset_suite.
+SWEEP_SKIP = {
+    "libero_spatial_no_noops", "droid", "droid_100", "bridge_dataset",
+    "taco_play", "jaco_play", "viola",
+    "stanford_hydra_dataset_converted_externally_to_rlds",
+    "austin_buds_dataset_converted_externally_to_rlds", "bc_z", "dobbe",
+    "cmu_stretch", "roboset", "rh20t", "tdroid_carrot_in_bowl",
+    "tdroid_pour_corn_in_pot", "fractal20220817_data",
+    "berkeley_autolab_ur5",
+    "furniture_bench_dataset_converted_externally_to_rlds",
+    "austin_sailor_dataset_converted_externally_to_rlds",
+    "austin_sirius_dataset_converted_externally_to_rlds",
+    "utaustin_mutex", "molmoact_dataset", "berkeley_fanuc_manipulation",
+    "fmb",
+}
+
+
+def gen_dataset_sweep_suite():
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+    import tests.test_transforms_oxe as tto
+
+    sweep_map = getattr(TR, "OXE_STANDARDIZATION_TRANSFORMS")
+    out = {}
+    covered, skipped = [], []
+    for name, fab in sorted(tto.FABRICATORS.items()):
+        if name in SWEEP_SKIP or name not in sweep_map:
+            continue
+        episode = fab()["steps"]
+        try:
+            result = sweep_map[name](_to_tf(episode))
+        except Exception as e:  # noqa: BLE001 - needs assets/lookups we can't fabricate
+            skipped.append(f"{name}: {type(e).__name__}: {str(e)[:60]}")
+            continue
+        flat_in: dict = {}
+        _flatten(f"{name}{SEP}in", episode, flat_in)
+        flat_out: dict = {}
+        _flatten(f"{name}{SEP}out", result, flat_out)
+        keep = {
+            k: v
+            for k, v in {**flat_in, **flat_out}.items()
+            if v.dtype.kind not in ("O", "U", "S")
+        }
+        if f"{name}{SEP}out{SEP}action" not in keep:
+            skipped.append(f"{name}: no numeric action output")
+            continue
+        out.update(keep)
+        covered.append(name)
+    np.savez(OUT / "sweep.npz", **out)
+    print(f"sweep.npz: {len(covered)} datasets ({len(out)} arrays)")
+    for s in skipped:
+        print("  sweep-skip:", s)
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     sum_actions = _extract_base_dataset_fns()
@@ -1260,6 +1319,7 @@ def main():
     gen_image_suite()
     gen_policy_suite()
     gen_stats_suite()
+    gen_dataset_sweep_suite()
     print("done:", sorted(p.name for p in OUT.iterdir()))
 
 
