@@ -153,7 +153,8 @@ def _np(x):
 
 def _to_tf(obj):
     if isinstance(obj, dict):
-        return {k: _to_tf(v) for k, v in obj.items()}
+        # None marks "field absent in this dataset" in fabricated episodes
+        return {k: _to_tf(v) for k, v in obj.items() if v is not None}
     if isinstance(obj, list) and obj and isinstance(obj[0], str):
         return tf.constant(obj)
     return tf.constant(obj)
@@ -1270,6 +1271,9 @@ SWEEP_SKIP = {
     "austin_sirius_dataset_converted_externally_to_rlds",
     "utaustin_mutex", "molmoact_dataset", "berkeley_fanuc_manipulation",
     "fmb",
+    # kuka's raw states are ZLIB-compressed byte strings, which cannot ride
+    # np.savez without pickling; covered by tests/test_transforms_oxe.py.
+    "kuka",
 }
 
 

@@ -144,7 +144,8 @@ FABRICATORS = {
         {"language_instruction": None},
     ),
     "stanford_kuka_multimodal_dataset_converted_externally_to_rlds": lambda: _steps(
-        {"image": IMGS}, _f(T, 4)
+        {"image": IMGS, "depth_image": np.zeros((T, 2, 2, 1), np.float32)},
+        _f(T, 4),
     ),
     "nyu_rot_dataset_converted_externally_to_rlds": lambda: _steps(
         {"image": IMGS, "state": _f(T, 7)}, _f(T, 7)
@@ -159,7 +160,11 @@ FABRICATORS = {
         _f(T, 7),
     ),
     "nyu_franka_play_dataset_converted_externally_to_rlds": lambda: _steps(
-        {"image": IMGS, "image_additional_view": IMGS, "state": _f(T, 13)},
+        {"image": IMGS, "image_additional_view": IMGS, "state": _f(T, 13),
+         # depth rides along so the REFERENCE transform (which casts it)
+         # also runs on this episode in the parity sweep; ours ignores it.
+         "depth": np.zeros((T, 2, 2, 1), np.int32),
+         "depth_additional_view": np.zeros((T, 2, 2, 1), np.int32)},
         _f(T, 15),
     ),
     "maniskill_dataset_converted_externally_to_rlds": lambda: _steps(
