@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import pathlib
+import threading
 import time
 from collections.abc import Sequence
 
@@ -34,6 +35,15 @@ def _unbatch(data):
 class BasePolicy:
     def __init__(self, *, metadata: dict | None = None):
         self._metadata = metadata or {}
+        self._step_lock = threading.Lock()
+        self._step = 0
+
+    def _next_step(self) -> int:
+        """Unique per-request counter: concurrent clients (the websocket
+        server runs infer in a thread pool) must not reuse a sampling key."""
+        with self._step_lock:
+            self._step += 1
+            return self._step
 
     @property
     def metadata(self) -> dict:
@@ -63,7 +73,6 @@ class Policy(BasePolicy):
         self._input = compose(input_transforms)
         self._output = compose(output_transforms)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self._step = 0
         # The per-request key is derived INSIDE jit (fold_in on a host int):
         # a host-side jax.random.split would add a device round-trip per
         # request, which dominates serving latency on remote-attached chips.
@@ -79,8 +88,7 @@ class Policy(BasePolicy):
         inputs = self._input(dict(obs))
         batch = _make_batch(inputs)
         observation = CoTObservation.from_dict(batch)
-        self._step += 1
-        actions = self._sample(self._params, self._rng, self._step, observation)
+        actions = self._sample(self._params, self._rng, self._next_step(), observation)
         outputs = {
             "state": np.asarray(batch["state"])[0],
             "actions": np.asarray(actions)[0],
@@ -115,7 +123,6 @@ class ARPolicy(BasePolicy):
         self._input = compose(input_transforms)
         self._output = compose(output_transforms)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self._step = 0
         # Key derivation happens inside jit (see Policy): no host-side
         # device round-trip per request.
         self._sample = jax.jit(
@@ -134,8 +141,7 @@ class ARPolicy(BasePolicy):
         inputs = self._input(dict(obs))
         batch = _make_batch(inputs)
         observation = CoTObservation.from_dict(batch)
-        self._step += 1
-        tokens = self._sample(self._params, self._rng, self._step, observation)
+        tokens = self._sample(self._params, self._rng, self._next_step(), observation)
         outputs = {
             "state": np.asarray(batch["state"])[0],
             "tokens": np.asarray(tokens),

@@ -201,3 +201,39 @@ def test_ar_policy_over_websocket():
     assert np.isfinite(np.asarray(result["actions"])).all()
     client.close()
     loop.call_soon_threadsafe(loop.stop)
+
+
+def test_concurrent_clients_get_unique_sampling_steps():
+    """Two clients through the threaded server concurrently: both must get
+    valid results and the per-request step counter must never hand out the
+    same sampling key twice (BasePolicy._next_step is locked)."""
+    policy = _build_policy()
+    server = WebsocketPolicyServer(policy, host="127.0.0.1", port=18475)
+
+    import asyncio
+    from concurrent.futures import ThreadPoolExecutor
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.run())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(0.5)
+
+    def one_client(n):
+        client = WebsocketClientPolicy(host="127.0.0.1", port=18475)
+        outs = [client.infer(_obs()) for _ in range(n)]
+        client.close()
+        return outs
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(one_client, 4) for _ in range(2)]
+        results = [f.result() for f in futs]
+    for outs in results:
+        for r in outs:
+            assert np.isfinite(r["actions"]).all()
+    assert policy._step == 8  # every request consumed a unique step
+    loop.call_soon_threadsafe(loop.stop)
