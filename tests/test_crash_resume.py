@@ -44,7 +44,7 @@ def test_sigkill_mid_training_then_resume(tmp_path):
     )
     # Wait until at least one checkpoint save began, then kill hard at an
     # arbitrary moment (mid-save more often than not with save_interval=1).
-    deadline = time.time() + 400
+    deadline = time.time() + 700  # generous: first XLA compile under CPU contention
     run_dir = ckpt / "debug" / "default"
     saw_step = False
     while time.time() < deadline:
@@ -63,7 +63,7 @@ def test_sigkill_mid_training_then_resume(tmp_path):
     # Restart with resume: must come up cleanly whatever state the kill left.
     out = subprocess.run(
         _train_cmd(ckpt, steps=3, resume=True),
-        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=500,
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=800,
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
     assert "training complete" in (out.stdout + out.stderr)
@@ -78,7 +78,7 @@ def test_sigterm_saves_and_exits_cleanly(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     run_dir = ckpt / "debug" / "default"
-    deadline = time.time() + 400
+    deadline = time.time() + 700  # generous: first XLA compile under CPU contention
     while time.time() < deadline:
         if proc.poll() is not None:
             raise AssertionError(f"train exited early:\n{proc.stdout.read()[-3000:]}")
@@ -92,6 +92,6 @@ def test_sigterm_saves_and_exits_cleanly(tmp_path):
 
     resumed = subprocess.run(
         _train_cmd(ckpt, steps=3, resume=True),
-        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=500,
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=800,
     )
     assert resumed.returncode == 0, resumed.stdout[-2000:] + resumed.stderr[-2000:]
