@@ -18,6 +18,34 @@ logger = logging.getLogger(__name__)
 NUM_QUANTILE_BINS = 4096
 
 
+def histogram_quantile(
+    data: np.ndarray, g_min: np.ndarray, g_max: np.ndarray, q: float,
+    num_bins: int = NUM_QUANTILE_BINS,
+) -> np.ndarray:
+    """Reference quantile semantics (normalize_adapter.py:236-268): 4096-bin
+    per-dim histograms over [min-1e-12, max+1e-12], returning the LEFT edge
+    of the bin where the cumulative count first reaches q * total."""
+    data = np.asarray(data, np.float64)
+    g_min = np.asarray(g_min, np.float64)
+    g_max = np.asarray(g_max, np.float64)
+    dims = g_min.shape[0]
+    out = np.zeros(dims)
+    for d in range(dims):
+        if not np.isfinite(g_min[d]) or not np.isfinite(g_max[d]) or g_min[d] == g_max[d]:
+            out[d] = g_min[d] if np.isfinite(g_min[d]) else 0.0
+            continue
+        edges = np.linspace(g_min[d] - 1e-12, g_max[d] + 1e-12, num_bins + 1)
+        h, _ = np.histogram(data[:, d], bins=edges)
+        total = h.sum()
+        if total == 0:
+            out[d] = g_min[d]
+            continue
+        c = np.cumsum(h)
+        idx = min(int(np.searchsorted(c, q * total, side="left")), num_bins - 1)
+        out[d] = edges[idx]
+    return out
+
+
 class RunningStats:
     """Streaming per-dimension stats over [N, D] batches."""
 
@@ -43,7 +71,10 @@ class RunningStats:
         if self._hist is None:
             self._buffer.append(batch)
             self._buffered += batch.shape[0]
-            if self._buffered >= 50_000:
+            # Buffer up to 1M rows (~256 MB at 32 dims f64) so finetune-scale
+            # datasets get the reference's EXACT quantile semantics; beyond
+            # that, freeze into the approximate streaming histogram.
+            if self._buffered >= 1_000_000:
                 self._freeze_hist()
         else:
             self._add_hist(batch)
@@ -70,8 +101,16 @@ class RunningStats:
 
     def _quantile(self, q: float) -> np.ndarray:
         if self._hist is None:
-            data = np.concatenate(self._buffer, axis=0) if self._buffer else np.zeros((1, self.dim))
-            return np.quantile(data, q, axis=0)
+            data = (
+                np.concatenate(self._buffer, axis=0)
+                if self._buffer
+                else np.zeros((1, self.dim))
+            )
+            return histogram_quantile(data, self.min, self.max, q)
+        # Streaming fallback (dataset exceeded the in-memory buffer): the
+        # final min/max were unknown when the histogram froze, so this is
+        # approximate to ~span/4096 — the reference holds every transition
+        # in RAM instead (normalize_adapter.py:89-280).
         lo, hi = self._hist_edges
         out = np.zeros(self.dim)
         for d in range(self.dim):

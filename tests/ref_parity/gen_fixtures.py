@@ -1313,9 +1313,54 @@ def gen_dataset_sweep_suite():
         print("  sweep-skip:", s)
 
 
+# ---------------------------------------------------------------------------
+# Suite 9: histogram quantiles (normalize_adapter._distributed_quantiles)
+# ---------------------------------------------------------------------------
+
+
+def _extract_distributed_quantiles():
+    """AST-extract the nested _distributed_quantiles from the reference's
+    get_dataset_statistics (normalize_adapter.py:236-268); the cross-host
+    _gather_and_reduce reduces over one host here (identity)."""
+    src = pathlib.Path(REF, "lap/shared/normalize_adapter.py").read_text()
+    tree = ast.parse(src)
+    fn = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "_distributed_quantiles":
+            fn = node
+            break
+    assert fn is not None
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns = {"np": np, "_gather_and_reduce": lambda x, _op: x}
+    exec(compile(mod, "normalize_adapter_extract", "exec"), ns)  # noqa: S102
+    return ns["_distributed_quantiles"]
+
+
+def gen_quantile_suite():
+    dq = _extract_distributed_quantiles()
+    rng = np.random.default_rng(13)
+    out = {}
+    cases = {
+        "normal": rng.normal(size=(5000, 6)) * np.array([1, 0.1, 10, 1, 1, 1]),
+        "skewed": np.abs(rng.normal(size=(3000, 4))) ** 3,
+        "tiny": rng.uniform(-1, 1, size=(7, 3)),
+        "constant_dim": np.concatenate(
+            [rng.normal(size=(500, 2)), np.full((500, 1), 3.25)], axis=-1
+        ),
+    }
+    for name, data in cases.items():
+        g_min, g_max = data.min(0), data.max(0)
+        out[f"q_in{SEP}{name}"] = data
+        for q in (0.01, 0.99):
+            out[f"q{SEP}{name}{SEP}{q}"] = dq(data, g_min, g_max, q)
+    np.savez(OUT / "quantiles.npz", **out)
+    print(f"quantiles.npz: {len(out)} arrays")
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     sum_actions = _extract_base_dataset_fns()
+    gen_quantile_suite()
     gen_rotation_suite()
     gen_helpers_suite()
     gen_langact_suite(sum_actions)
