@@ -1,14 +1,25 @@
 """Real-robot client helpers.
 
-Capability parity with lihzha/lap ``scripts/real_robot/helpers.py``:
-euler->rot6d, gripper binarize/invert (numpy), SLERP rotation interpolation,
-deferred Ctrl-C, and the ActionChunkPostProcessor that integrates delta
-chunks into absolute position/rotation targets.
+Parity with lihzha/lap ``scripts/real_robot/helpers.py`` (verified against
+reference-generated goldens in tests/golden/ref_parity/clients.npz):
+euler->rot6d, backward-propagating gripper binarization, quaternion-SLERP
+rotation interpolation, deferred Ctrl-C, Euler-delta composition, and the
+ActionChunkPostProcessor that turns policy responses into executable
+controller chunks. Key reference semantics preserved exactly:
+
+- interpolate_rpy(curr, delta, steps) SLERPs from curr to curr+delta over
+  ``steps`` points INCLUDING the start (helpers.py:43-88).
+- A 1-D response action expands into a chunk of ``chunk_steps`` linspace
+  positions + SLERP orientations + constant gripper.
+- A 2-D chunk adds curr_pos to EVERY row's translation (open-loop deltas
+  are all relative to the observed pose — NOT cumulatively integrated) and
+  composes each row's Euler delta with the current rotation.
 """
 
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import signal
 
 import numpy as np
@@ -21,26 +32,55 @@ def euler_to_rot6d(euler: np.ndarray) -> np.ndarray:
     return np.concatenate([rot[:, 0], rot[:, 1]], axis=0)
 
 
-def binarize_gripper(value: float, threshold: float = 0.5) -> float:
-    return 1.0 if value >= threshold else 0.0
+def binarize_gripper_actions_np(actions: np.ndarray, threshold: float = 0.95) -> np.ndarray:
+    """Binary open/close with backward propagation through the in-between
+    band (reference helpers.py:16-37)."""
+    actions = np.asarray(actions, dtype=np.float32)
+    n = actions.shape[0]
+    new_actions = np.zeros_like(actions)
+    open_mask = actions > threshold
+    closed_mask = actions < (1 - threshold)
+    in_between = ~(open_mask | closed_mask)
+    carry = bool(actions[-1] > threshold)
+    for i in reversed(range(n)):
+        if not in_between[i]:
+            carry = bool(open_mask[i])
+        new_actions[i] = float(carry)
+    return new_actions
 
 
-def invert_gripper(value: float) -> float:
-    return 1.0 - value
+def invert_gripper_actions_np(actions: np.ndarray) -> np.ndarray:
+    return 1.0 - np.asarray(actions)
 
 
-def interpolate_rpy(rpy_start: np.ndarray, rpy_end: np.ndarray, num_steps: int) -> np.ndarray:
-    """SLERP between two extrinsic-XYZ orientations, returning num_steps
-    waypoints (excluding the start, including the end)."""
-    rots = R.from_euler("xyz", np.stack([rpy_start, rpy_end]))
-    slerp = Slerp([0.0, 1.0], rots)
-    times = np.linspace(0.0, 1.0, num_steps + 1)[1:]
-    return slerp(times).as_euler("xyz")
+def interpolate_rpy(curr, delta, steps):
+    """SLERP from ``curr`` to ``curr + delta`` over ``steps`` waypoints,
+    endpoint-inclusive on BOTH sides (first row equals curr)."""
+    curr = np.asarray(curr, dtype=float)
+    delta = np.asarray(delta, dtype=float)
+    if delta.ndim == 1:
+        target_rpy = curr + delta
+    else:
+        target_rpy = curr + delta[0] if len(delta) > 0 else curr
+    rot_curr = R.from_euler("xyz", curr, degrees=False)
+    rot_target = R.from_euler("xyz", target_rpy, degrees=False)
+    slerp = Slerp(np.array([0, 1]), R.concatenate([rot_curr, rot_target]))
+    return slerp(np.linspace(0, 1, steps, endpoint=True)).as_euler("xyz", degrees=False)
+
+
+def add_euler(curr: np.ndarray, delta: np.ndarray, seq: str = "xyz") -> np.ndarray:
+    """Compose Euler-angle deltas with a current rotation (ref :187-203)."""
+    curr = np.asarray(curr, dtype=float)
+    delta = np.asarray(delta, dtype=float)
+    r_curr = R.from_euler(seq, curr)
+    r_delta = R.from_euler(seq, delta)
+    return (r_curr * r_delta).as_euler(seq)
 
 
 @contextlib.contextmanager
 def deferred_keyboard_interrupt():
-    """Queue Ctrl-C during a critical section; re-raise after."""
+    """Queue Ctrl-C during a critical section; re-raise after (the
+    reference's prevent_keyboard_interrupt)."""
     interrupted = []
 
     def handler(signum, frame):
@@ -55,30 +95,77 @@ def deferred_keyboard_interrupt():
             raise KeyboardInterrupt
 
 
+prevent_keyboard_interrupt = deferred_keyboard_interrupt  # reference name
+
+
+@dataclasses.dataclass
 class ActionChunkPostProcessor:
-    """Convert a delta action chunk into absolute controller targets.
+    """Convert policy responses into executable robot action chunks
+    (reference helpers.py:114-185)."""
 
-    Positions integrate cumulatively from the current EEF position; rotations
-    SLERP from the current orientation through the composed deltas; the
-    gripper is binarized (reference helpers.py:113-202).
-    """
+    chunk_steps: int = 8
+    use_quaternions: bool = False
 
-    def __init__(self, *, open_loop_horizon: int = 8, gripper_invert: bool = False):
-        self.open_loop_horizon = open_loop_horizon
-        self.gripper_invert = gripper_invert
+    def process_response(
+        self,
+        response: dict,
+        *,
+        curr_pos: np.ndarray,
+        curr_rpy: np.ndarray,
+        gripper_postprocess_fn,
+        orientation_interpolator_fn,
+    ) -> np.ndarray:
+        actions = np.asarray(response["actions"], dtype=float)
+        if actions.ndim == 1:
+            return self._single_action_to_chunk(
+                actions,
+                curr_pos=curr_pos,
+                curr_rpy=curr_rpy,
+                gripper_postprocess_fn=gripper_postprocess_fn,
+                orientation_interpolator_fn=orientation_interpolator_fn,
+            )
+        return self._chunk_actions(
+            actions,
+            curr_pos=curr_pos,
+            curr_rpy=curr_rpy,
+            gripper_postprocess_fn=gripper_postprocess_fn,
+        )
 
-    def __call__(self, chunk: np.ndarray, current_pos: np.ndarray, current_rpy: np.ndarray) -> np.ndarray:
-        chunk = np.asarray(chunk, dtype=np.float64)[: self.open_loop_horizon]
-        n = len(chunk)
-        abs_pos = current_pos[None] + np.cumsum(chunk[:, :3], axis=0)
-        # Compose rotation deltas then SLERP through the final orientation.
-        r_total = R.from_euler("xyz", current_rpy)
-        for rpy in chunk[:, 3:6]:
-            r_total = r_total * R.from_euler("xyz", rpy)
-        final_rpy = r_total.as_euler("xyz")
-        abs_rpy = interpolate_rpy(current_rpy, final_rpy, n)
-        grip = chunk[:, 6:7]
-        if self.gripper_invert:
-            grip = 1.0 - grip
-        grip = (grip >= 0.5).astype(np.float64)
-        return np.concatenate([abs_pos, abs_rpy, grip], axis=1)
+    def _single_action_to_chunk(
+        self,
+        action: np.ndarray,
+        *,
+        curr_pos: np.ndarray,
+        curr_rpy: np.ndarray,
+        gripper_postprocess_fn,
+        orientation_interpolator_fn,
+    ) -> np.ndarray:
+        grip_action = float(np.asarray(gripper_postprocess_fn(action)).reshape(-1)[0])
+        positions = np.linspace(curr_pos, curr_pos + action[:3], self.chunk_steps, endpoint=True)
+        rpy_arr = orientation_interpolator_fn(curr=curr_rpy, delta=action[3:6], steps=self.chunk_steps)
+        grip_vals = np.full((self.chunk_steps, 1), grip_action)
+        if self.use_quaternions:
+            quat_arr = R.from_euler("xyz", rpy_arr, degrees=False).as_quat()
+            return np.concatenate([positions, quat_arr, grip_vals], axis=1)
+        return np.concatenate([positions, rpy_arr, grip_vals], axis=1)
+
+    def _chunk_actions(
+        self,
+        pred_action_chunk: np.ndarray,
+        *,
+        curr_pos: np.ndarray,
+        curr_rpy: np.ndarray,
+        gripper_postprocess_fn,
+    ) -> np.ndarray:
+        pred_action_chunk = pred_action_chunk.copy()
+        if pred_action_chunk.shape[-1] > 7:
+            return pred_action_chunk
+        # Every row is a delta from the OBSERVED pose (open-loop chunk);
+        # translations broadcast-add curr_pos, rotations compose with curr.
+        pred_action_chunk[:, :3] += curr_pos
+        pred_action_chunk[:, 3:6] = add_euler(curr=curr_rpy, delta=pred_action_chunk[:, 3:6])
+        pred_action_chunk[:, -1] = gripper_postprocess_fn(pred_action_chunk)
+        if not self.use_quaternions:
+            return pred_action_chunk
+        quat_arr = R.from_euler("xyz", pred_action_chunk[:, 3:6], degrees=False).as_quat()
+        return np.concatenate([pred_action_chunk[:, :3], quat_arr, pred_action_chunk[:, 6:7]], axis=1)

@@ -29,7 +29,13 @@ import numpy as np
 from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
 from lap_tpu.utils.image import convert_to_uint8, resize_with_pad_np
 
-from .helpers import ActionChunkPostProcessor, deferred_keyboard_interrupt, euler_to_rot6d
+from .helpers import (
+    ActionChunkPostProcessor,
+    binarize_gripper_actions_np,
+    deferred_keyboard_interrupt,
+    euler_to_rot6d,
+    interpolate_rpy,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -58,9 +64,7 @@ class BaseEvalRunner:
         self.config = config
         self.env = env
         self.client = WebsocketClientPolicy(config.host, config.port)
-        self.post = ActionChunkPostProcessor(
-            open_loop_horizon=OPEN_LOOP_HORIZON, gripper_invert=config.gripper_invert
-        )
+        self.post = ActionChunkPostProcessor(chunk_steps=OPEN_LOOP_HORIZON)
         Path(config.video_dir).mkdir(parents=True, exist_ok=True)
         Path(config.log_dir).mkdir(parents=True, exist_ok=True)
 
@@ -96,6 +100,17 @@ class BaseEvalRunner:
             "frame_description": self.config.frame_description,
         }
 
+    def _gripper_postprocess(self, action: np.ndarray) -> np.ndarray:
+        """Binarize (backward-propagating) the gripper column of a chunk, or
+        the last element of a single action; invert per robot convention
+        (reference shared.py:183-184 semantics)."""
+        action = np.asarray(action, dtype=float)
+        grip = action[..., -1]
+        grip = binarize_gripper_actions_np(np.atleast_1d(grip), threshold=0.5)
+        if self.config.gripper_invert:
+            grip = 1.0 - grip
+        return grip if action.ndim > 1 else grip[:1]
+
     # -- rollout ----------------------------------------------------------
     def rollout_once(self, prompt: str) -> list[np.ndarray]:
         frames = []
@@ -105,9 +120,15 @@ class BaseEvalRunner:
         while step < self.config.max_steps:
             request = self.build_request(obs, prompt)
             response = self.client.infer(request)
-            chunk = np.asarray(response["actions"])
             current = obs["robot_state"]["cartesian_position"]
-            targets = self.post(chunk, np.asarray(current[:3]), np.asarray(current[3:6]))
+            targets = self.post.process_response(
+                response,
+                curr_pos=np.asarray(current[:3], dtype=float),
+                curr_rpy=np.asarray(current[3:6], dtype=float),
+                gripper_postprocess_fn=self._gripper_postprocess,
+                orientation_interpolator_fn=interpolate_rpy,
+            )
+            targets = targets[:OPEN_LOOP_HORIZON]
             for target in targets:
                 t0 = time.monotonic()
                 with deferred_keyboard_interrupt():

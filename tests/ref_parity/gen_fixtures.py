@@ -1357,10 +1357,80 @@ def gen_quantile_suite():
     print(f"quantiles.npz: {len(out)} arrays")
 
 
+# ---------------------------------------------------------------------------
+# Suite 10: real-robot client helpers (SLERP chunks, gripper binarization)
+# ---------------------------------------------------------------------------
+
+
+def gen_clients_suite():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_rr_helpers", pathlib.Path(REF).parent / "scripts" / "real_robot" / "helpers.py"
+    )
+    H = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(H)
+
+    rng = np.random.default_rng(21)
+    out = {}
+
+    grip_seqs = {
+        "mixed": np.array([0.97, 0.5, 0.3, 0.02, 0.4, 0.99, 0.96]),
+        "all_between": np.full(5, 0.5),
+        "closing_tail": np.array([0.99, 0.8, 0.6, 0.02]),
+    }
+    for name, seq in grip_seqs.items():
+        out[f"rr_grip_in{SEP}{name}"] = seq
+        out[f"rr_grip{SEP}{name}"] = H.binarize_gripper_actions_np(seq.copy())
+
+    curr_rpy = np.array([0.3, -0.2, 1.1])
+    delta = np.array([0.2, 0.1, -0.6])
+    out["rr_interp_curr"] = curr_rpy
+    out["rr_interp_delta"] = delta
+    out["rr_interp"] = H.interpolate_rpy(curr_rpy, delta, 8)
+    out["rr_add_euler"] = H.add_euler(curr_rpy, rng.normal(size=(5, 3)) * 0.3)
+    out["rr_add_euler_in"] = np.asarray(out["rr_add_euler"])  # placeholder, replaced below
+    deltas5 = rng.normal(size=(5, 3)) * 0.3
+    out["rr_add_euler_in"] = deltas5
+    out["rr_add_euler"] = H.add_euler(curr_rpy, deltas5)
+    out["rr_rot6d"] = H.euler_to_rot6d(curr_rpy)
+
+    curr_pos = np.array([0.4, -0.1, 0.25])
+    grip_fn = lambda a: 1 - np.asarray(a, dtype=float)[..., -1]  # noqa: E731
+
+    post = H.ActionChunkPostProcessor(chunk_steps=8, use_quaternions=False)
+    single = np.array([0.05, -0.03, 0.02, 0.1, -0.05, 0.2, 0.9])
+    out["rr_single_in"] = single
+    out["rr_single"] = post.process_response(
+        {"actions": single}, curr_pos=curr_pos, curr_rpy=curr_rpy,
+        gripper_postprocess_fn=grip_fn, orientation_interpolator_fn=H.interpolate_rpy,
+    )
+    chunk = rng.normal(size=(6, 7)) * np.array([0.03] * 3 + [0.1] * 3 + [0.0]) \
+        + np.array([0.0] * 6 + [0.8])
+    out["rr_chunk_in"] = chunk
+    out["rr_chunk"] = post.process_response(
+        {"actions": chunk.copy()}, curr_pos=curr_pos, curr_rpy=curr_rpy,
+        gripper_postprocess_fn=grip_fn, orientation_interpolator_fn=H.interpolate_rpy,
+    )
+    post_q = H.ActionChunkPostProcessor(chunk_steps=8, use_quaternions=True)
+    out["rr_single_quat"] = post_q.process_response(
+        {"actions": single}, curr_pos=curr_pos, curr_rpy=curr_rpy,
+        gripper_postprocess_fn=grip_fn, orientation_interpolator_fn=H.interpolate_rpy,
+    )
+    out["rr_chunk_quat"] = post_q.process_response(
+        {"actions": chunk.copy()}, curr_pos=curr_pos, curr_rpy=curr_rpy,
+        gripper_postprocess_fn=grip_fn, orientation_interpolator_fn=H.interpolate_rpy,
+    )
+    out["rr_curr_pos"] = curr_pos
+    np.savez(OUT / "clients.npz", **out)
+    print(f"clients.npz: {len(out)} arrays")
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     sum_actions = _extract_base_dataset_fns()
     gen_quantile_suite()
+    gen_clients_suite()
     gen_rotation_suite()
     gen_helpers_suite()
     gen_langact_suite(sum_actions)

@@ -64,28 +64,61 @@ def test_flow_chunk_gripper_convention():
     assert (actions[:, -1] == -1.0).all()  # open (1) -> LIBERO -1
 
 
-def test_action_chunk_post_processor():
-    post = ActionChunkPostProcessor(open_loop_horizon=4)
-    chunk = np.zeros((8, 7))
-    chunk[:, 0] = 0.01  # 1 cm forward per step
-    chunk[:, 5] = 0.05  # yaw per step
-    chunk[:, 6] = 1.0
-    current_pos = np.array([0.3, 0.0, 0.2])
-    current_rpy = np.zeros(3)
-    targets = post(chunk, current_pos, current_rpy)
-    assert targets.shape == (4, 7)
-    np.testing.assert_allclose(targets[-1, 0], 0.34, atol=1e-9)  # integrated
-    np.testing.assert_allclose(targets[-1, 5], 0.2, atol=1e-6)  # composed yaw
-    # SLERP is monotone between start and end.
-    assert np.all(np.diff(targets[:, 5]) > 0)
-    assert (targets[:, 6] == 1.0).all()
+def _clients_gold():
+    import pathlib as _pl
+
+    return np.load(_pl.Path(__file__).parent / "golden" / "ref_parity" / "clients.npz")
 
 
-def test_interpolate_rpy():
-    out = interpolate_rpy(np.zeros(3), np.array([0, 0, 1.0]), 4)
-    assert out.shape == (4, 3)
-    np.testing.assert_allclose(out[-1], [0, 0, 1.0], atol=1e-9)
-    np.testing.assert_allclose(out[1][2] - out[0][2], 0.25, atol=1e-9)
+def test_action_chunk_post_processor_matches_reference():
+    """Reference-generated goldens (gen_fixtures.gen_clients_suite): single
+    actions expand to linspace+SLERP chunks; 2-D chunks broadcast-add the
+    observed pose (NOT cumulative integration) and compose per-row Euler
+    deltas; quaternion variant included."""
+    gold = _clients_gold()
+    post = ActionChunkPostProcessor(chunk_steps=8, use_quaternions=False)
+    post_q = ActionChunkPostProcessor(chunk_steps=8, use_quaternions=True)
+    curr_pos, curr_rpy = gold["rr_curr_pos"], gold["rr_interp_curr"]
+    grip_fn = lambda a: 1 - np.asarray(a, dtype=float)[..., -1]  # noqa: E731
+    for proc, single_key, chunk_key in (
+        (post, "rr_single", "rr_chunk"),
+        (post_q, "rr_single_quat", "rr_chunk_quat"),
+    ):
+        got = proc.process_response(
+            {"actions": gold["rr_single_in"]}, curr_pos=curr_pos, curr_rpy=curr_rpy,
+            gripper_postprocess_fn=grip_fn, orientation_interpolator_fn=interpolate_rpy,
+        )
+        np.testing.assert_allclose(got, gold[single_key], rtol=1e-9, atol=1e-12)
+        got = proc.process_response(
+            {"actions": gold["rr_chunk_in"].copy()}, curr_pos=curr_pos, curr_rpy=curr_rpy,
+            gripper_postprocess_fn=grip_fn, orientation_interpolator_fn=interpolate_rpy,
+        )
+        np.testing.assert_allclose(got, gold[chunk_key], rtol=1e-9, atol=1e-12)
+
+
+def test_gripper_binarization_matches_reference():
+    from scripts.real_robot.helpers import binarize_gripper_actions_np
+
+    gold = _clients_gold()
+    for name in ("mixed", "all_between", "closing_tail"):
+        got = binarize_gripper_actions_np(gold[f"rr_grip_in|{name}"].copy())
+        np.testing.assert_array_equal(got, gold[f"rr_grip|{name}"])
+
+
+def test_interpolate_rpy_matches_reference():
+    gold = _clients_gold()
+    got = interpolate_rpy(gold["rr_interp_curr"], gold["rr_interp_delta"], 8)
+    np.testing.assert_allclose(got, gold["rr_interp"], rtol=1e-9, atol=1e-12)
+    # endpoint-inclusive on both sides
+    np.testing.assert_allclose(got[0], gold["rr_interp_curr"], atol=1e-12)
+
+
+def test_add_euler_matches_reference():
+    from scripts.real_robot.helpers import add_euler
+
+    gold = _clients_gold()
+    got = add_euler(gold["rr_interp_curr"], gold["rr_add_euler_in"])
+    np.testing.assert_allclose(got, gold["rr_add_euler"], rtol=1e-9, atol=1e-12)
 
 
 def test_euler_to_rot6d_roundtrip():
