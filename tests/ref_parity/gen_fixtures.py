@@ -1422,6 +1422,47 @@ def gen_clients_suite():
         gripper_postprocess_fn=grip_fn, orientation_interpolator_fn=H.interpolate_rpy,
     )
     out["rr_curr_pos"] = curr_pos
+
+    # ---- LIBERO client conversions (AST-extracted from scripts/libero) ----
+    src = (pathlib.Path(REF).parent / "scripts" / "libero" / "main.py").read_text()
+    tree = ast.parse(src)
+    wanted = {"_quat2rot6d", "get_action_from_response", "invert_and_scale_gripper", "obs_to_request"}
+    consts = [
+        n for n in tree.body
+        if isinstance(n, ast.Assign)
+        and any(isinstance(t, ast.Name) and t.id.startswith("_OSC") for t in n.targets)
+    ]
+    fns = [n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name in wanted]
+    from scipy.spatial.transform import Rotation as _R
+
+    ns = {
+        "np": np,
+        "R": _R,
+        "PolicyType": types.SimpleNamespace(LAP="lap", LAP_AR="lap_ar"),
+    }
+    exec(compile(ast.Module(body=consts + fns, type_ignores=[]), "libero_extract", "exec"), ns)  # noqa: S102
+
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    out["lib_quat"] = q
+    out["lib_rot6d"] = ns["_quat2rot6d"](q)
+    ar_action = np.array([0.04, -0.02, 0.01, 0.15, -0.3, 0.25, 1.0])
+    out["lib_ar_in"] = ar_action
+    out["lib_ar"] = ns["get_action_from_response"](5, {"actions": ar_action}, None)
+    g = np.concatenate([rng.normal(size=(6, 6)) * 0.1,
+                        np.array([[0.0], [1.0], [0.5], [0.9], [0.1], [0.49]])], axis=1)
+    out["lib_grip_in"] = g
+    out["lib_grip"] = ns["invert_and_scale_gripper"](g.copy())
+    obs = {
+        "robot0_eef_pos": rng.normal(size=3) * 0.3,
+        "robot0_eef_quat": q,
+        "robot0_gripper_qpos": np.array([0.021, -0.021]),
+    }
+    req = ns["obs_to_request"](obs, "lap", img=None, wrist_img=None, task_description="t")
+    out["lib_obs_pos"] = obs["robot0_eef_pos"]
+    out["lib_obs_qpos"] = obs["robot0_gripper_qpos"]
+    out["lib_state"] = req["observation"]["state"]
+
     np.savez(OUT / "clients.npz", **out)
     print(f"clients.npz: {len(out)} arrays")
 

@@ -125,3 +125,34 @@ def test_euler_to_rot6d_roundtrip():
     r6 = euler_to_rot6d(np.array([0.2, -0.1, 0.4]))
     assert r6.shape == (6,)
     np.testing.assert_allclose(np.linalg.norm(r6[:3]), 1.0, atol=1e-12)
+
+
+def test_libero_conversions_match_reference():
+    """AST-extracted reference fns (scripts/libero/main.py): quat->rot6d,
+    AR-action -> normalized OSC_POSE commands, flow gripper sign convention,
+    and the request state vector."""
+    from scripts.libero.main import (
+        get_action_from_response as mine_ar,
+    )
+    from scripts.libero.main import (
+        obs_to_request as mine_req,
+    )
+    from scripts.libero.main import (
+        quat2rot6d as mine_q6,
+    )
+
+    gold = _clients_gold()
+    np.testing.assert_allclose(mine_q6(gold["lib_quat"]), gold["lib_rot6d"], rtol=1e-12)
+    np.testing.assert_allclose(
+        mine_ar(5, {"actions": gold["lib_ar_in"]}), gold["lib_ar"], rtol=1e-12
+    )
+    # flow gripper convention: sign(1-2g); rows with g=0.5 map to exactly 0
+    got = flow_chunk_to_actions({"actions": gold["lib_grip_in"].copy()}, 6)
+    np.testing.assert_allclose(got[:, -1], gold["lib_grip"][:, -1], atol=0)
+    obs = {
+        "robot0_eef_pos": gold["lib_obs_pos"],
+        "robot0_eef_quat": gold["lib_quat"],
+        "robot0_gripper_qpos": gold["lib_obs_qpos"],
+    }
+    req = mine_req(obs, None, None, "t")
+    np.testing.assert_allclose(req["observation"]["state"], gold["lib_state"], rtol=1e-6)
