@@ -36,6 +36,9 @@ def main():
         port=args.port,
         camera_keys=("exterior_image_1_left", "wrist_image_left"),
         rotate_wrist_180=True,
+        # DROID reports 1 = closed; observations must invert to the policy's
+        # 1 = open convention (reference droid_main.py:23-24).
+        gripper_invert=True,
         frame_description=args.frame_description,
     )
     BaseEvalRunner(config, DroidEnvAdapter()).run_interactive()

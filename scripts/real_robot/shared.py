@@ -80,13 +80,22 @@ class BaseEvalRunner:
         wrist = convert_to_uint8(resize_with_pad_np(wrist, size, size))
         return base, wrist
 
+    def process_gripper_observation(self, gripper_position: np.ndarray) -> np.ndarray:
+        """Robot gripper reading -> policy convention (1 = open). DROID rigs
+        report 1 = closed, so invert-then-binarize (reference
+        droid_main.py:23-24); identity for robots already in policy
+        convention (reference shared.py:136-137)."""
+        g = np.asarray(gripper_position, dtype=np.float64)
+        if self.config.gripper_invert:
+            return binarize_gripper_actions_np(1.0 - g, threshold=0.5)
+        return g
+
     def extract_state(self, obs: dict) -> np.ndarray:
         pos = np.asarray(obs["robot_state"]["cartesian_position"][:3], dtype=np.float64)
         rpy = np.asarray(obs["robot_state"]["cartesian_position"][3:6], dtype=np.float64)
-        gripper = float(obs["robot_state"]["gripper_position"])
-        return np.concatenate([pos, euler_to_rot6d(rpy), [np.clip(gripper, 0, 1)]]).astype(
-            np.float32
-        )
+        gripper = np.clip(float(obs["robot_state"]["gripper_position"]), 0, 1)
+        gripper = self.process_gripper_observation(np.array([gripper]))
+        return np.concatenate([pos, euler_to_rot6d(rpy), gripper]).astype(np.float32)
 
     def build_request(self, obs: dict, prompt: str) -> dict:
         base, wrist = self.extract_images(obs)
@@ -101,14 +110,11 @@ class BaseEvalRunner:
         }
 
     def _gripper_postprocess(self, action: np.ndarray) -> np.ndarray:
-        """Binarize (backward-propagating) the gripper column of a chunk, or
-        the last element of a single action; invert per robot convention
-        (reference shared.py:183-184 semantics)."""
+        """Policy gripper output (1 = open) -> robot command. Reference
+        shared.py:183-184: plain inversion of the action's last column (the
+        robot's position interface takes 1 = closed)."""
         action = np.asarray(action, dtype=float)
-        grip = action[..., -1]
-        grip = binarize_gripper_actions_np(np.atleast_1d(grip), threshold=0.5)
-        if self.config.gripper_invert:
-            grip = 1.0 - grip
+        grip = 1.0 - np.atleast_1d(action[..., -1])
         return grip if action.ndim > 1 else grip[:1]
 
     # -- rollout ----------------------------------------------------------
