@@ -38,7 +38,7 @@ def main():
         rotate_wrist_180=True,
         # DROID reports 1 = closed; observations must invert to the policy's
         # 1 = open convention (reference droid_main.py:23-24).
-        gripper_invert=True,
+        gripper_obs_mode="invert_binarize",
         frame_description=args.frame_description,
     )
     BaseEvalRunner(config, DroidEnvAdapter()).run_interactive()

@@ -18,13 +18,15 @@ def main():
     p.add_argument("--host", default="localhost")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--camera", default="exterior_image_2_left")
-    p.add_argument("--gripper_invert", action="store_true")
     args = p.parse_args()
     config = RunnerConfig(
         host=args.host,
         port=args.port,
         camera_keys=(args.camera, "wrist_image_left"),
-        gripper_invert=args.gripper_invert,
+        # Franka raw gripper is already 1 = open: binarize without inversion;
+        # the controller takes quaternion targets (reference franka_main.py).
+        gripper_obs_mode="binarize",
+        use_quaternions=True,
         rotate_wrist_180=True,
     )
     BaseEvalRunner(config, DroidEnvAdapter()).run_interactive()

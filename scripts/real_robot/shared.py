@@ -50,7 +50,13 @@ class RunnerConfig:
     resize_size: int = 224
     camera_keys: tuple[str, ...] = ("exterior_image_1_left", "wrist_image_left")
     rotate_wrist_180: bool = True
-    gripper_invert: bool = False
+    # Gripper OBSERVATION convention per rig (reference droid_main.py:23-24 /
+    # franka_main.py:24-25): "invert_binarize" (DROID: 1=closed raw),
+    # "binarize" (Franka: 1=open raw), or "identity".
+    gripper_obs_mode: str = "identity"
+    # Emit pos3+quat4+grip targets instead of pos3+rpy3+grip
+    # (reference franka_main.py use_quaternion_actions).
+    use_quaternions: bool = False
     frame_description: str = "end-effector frame"
     video_dir: str = "data/real_robot/videos"
     log_dir: str = "data/real_robot/logs"
@@ -64,7 +70,9 @@ class BaseEvalRunner:
         self.config = config
         self.env = env
         self.client = WebsocketClientPolicy(config.host, config.port)
-        self.post = ActionChunkPostProcessor(chunk_steps=OPEN_LOOP_HORIZON)
+        self.post = ActionChunkPostProcessor(
+            chunk_steps=OPEN_LOOP_HORIZON, use_quaternions=config.use_quaternions
+        )
         Path(config.video_dir).mkdir(parents=True, exist_ok=True)
         Path(config.log_dir).mkdir(parents=True, exist_ok=True)
 
@@ -86,8 +94,10 @@ class BaseEvalRunner:
         droid_main.py:23-24); identity for robots already in policy
         convention (reference shared.py:136-137)."""
         g = np.asarray(gripper_position, dtype=np.float64)
-        if self.config.gripper_invert:
+        if self.config.gripper_obs_mode == "invert_binarize":
             return binarize_gripper_actions_np(1.0 - g, threshold=0.5)
+        if self.config.gripper_obs_mode == "binarize":
+            return binarize_gripper_actions_np(g)
         return g
 
     def extract_state(self, obs: dict) -> np.ndarray:
