@@ -1117,6 +1117,24 @@ def gen_policy_suite():
         out[f"ap{SEP}{name}{SEP}text"] = np.array(text if text is not None else "<NONE>")
         out[f"ap{SEP}{name}{SEP}frame"] = np.array(frame)
 
+    # ---- token-piece checkers (critical/direction loss-mask gates) --------
+    CH = importlib.import_module("lap.models.prompt_utils.checkers")
+    checker_pieces = [
+        "move", "▁right", "5", "▁12cm", "+03", "-", "UP",
+        "Counterclockwise", "for", "forwards", "▁backward", "deg", "0f",
+        "<loc0123>", "", " ", "down?", "cl", "ockwise", "a1b",
+    ]
+    checker_names = [
+        "is_number", "is_direction_natural", "is_direction_schema",
+        "is_direction_none", "is_critical_directional", "is_critical_schema",
+        "is_critical_default",
+    ]
+    out["checker_pieces"] = np.array(checker_pieces)
+    for fn in checker_names:
+        out[f"checker{SEP}{fn}"] = np.array(
+            [bool(getattr(CH, fn)(p)) for p in checker_pieces]
+        )
+
     # ---- bbox letterbox / loc-token utilities -----------------------------
     for _name, _path in [
         ("lap.datasets.vqa", REF + "/lap/datasets/vqa"),
