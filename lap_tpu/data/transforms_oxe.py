@@ -182,6 +182,40 @@ def bridge_dataset_transform(episode: dict) -> dict:
     )
 
 
+@register_dataset("bridge_orig")
+@register_dataset("bridge_dataset")
+def bridge_orig_dataset_transform(episode: dict) -> dict:
+    """Original-website Bridge V2 (reference transforms.py:245-272).
+
+    Unlike ``bridge_v2_oxe`` this variant relabels actions from reached
+    proprioceptive state (reference ``relabel_bridge_actions``,
+    transforms.py:165-172): after dropping the all-zero first step, the
+    movement action at t becomes state[t+1, :6] - state[t, :6] and the last
+    (action-less) step is discarded, leaving T-2 steps. The gripper state
+    column is kept UNclipped here (reference :271).
+    """
+    steps = _steps(episode)
+    obs = steps["observation"]
+    # First timestep has an all-zero action: drop it.
+    action = np.asarray(steps["action"], dtype=np.float32)[1:]
+    state = np.asarray(obs["state"], dtype=np.float32)[1:]
+    base = list(obs.get("image_0", obs.get("image", [])))[1:]
+    instructions = _instructions(steps)[1:] or [""]
+    grip = binarize_gripper_actions(action[:, -1])[:, None]
+    # relabel_bridge_actions: reached-state deltas; discard the final step.
+    movement = state[1:, :6] - state[:-1, :6]
+    eef = state[:-1, :6]
+    return _canonical(
+        base_imgs=base[:-1],
+        wrist_imgs=None,
+        eef_state=eef,
+        gripper_state=state[:-1, -1:],
+        action=np.concatenate([movement, grip[:-1]], axis=-1),
+        gripper_action=grip[:-1],
+        instructions=instructions[:-1] or [""],
+    )
+
+
 # ---------------------------------------------------------------------------
 # RT-1 / fractal (reference transforms.py:288-328)
 # ---------------------------------------------------------------------------

@@ -1485,6 +1485,107 @@ def gen_clients_suite():
     print(f"clients.npz: {len(out)} arrays")
 
 
+# ---------------------------------------------------------------------------
+# Suite 11 (round 4): the last three transform families without reference
+# goldens — kuka (ZLIB-compressed raw states), bridge_orig/bridge_dataset
+# (relabel_bridge_actions semantics), and ego4d/human (identity).
+# ---------------------------------------------------------------------------
+
+
+def gen_dataset_suite_r4():
+    import zlib
+
+    rng = np.random.default_rng(20260817)
+    t = 9
+    out = {}
+
+    # --- kuka (ref transforms.py:331-400): raw pose/gripper arrive as
+    # per-step ZLIB-compressed float32 byte strings. Store the plain floats
+    # as fixture inputs (bytes can't ride np.savez) and compress at use time;
+    # any valid ZLIB stream decodes identically through tf.io.decode_compressed.
+    pos = rng.normal(size=(t, 3)).astype(np.float32) * 0.3
+    quat = rng.normal(size=(t, 4))
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    pose = np.concatenate([pos, quat.astype(np.float32)], -1)  # xyz + xyzw
+    grip_closed = rng.uniform(0, 1, size=t).astype(np.float32)
+    # probe rel2abs branches: closes, opens, deadband-only
+    act_grip = np.array([0.0, 0.9, 0.0, -0.8, 0.05, 0.0, 0.7, -0.9, 0.0], np.float32)[:, None]
+    traj = {
+        "observation": {
+            "clip_function_input/base_pose_tool_reached": tf.constant(
+                [zlib.compress(pose[i].tobytes()) for i in range(t)]
+            ),
+            "gripper_closed": tf.constant(
+                [zlib.compress(grip_closed[i].tobytes()) for i in range(t)]
+            ),
+            "natural_language_instruction": tf.constant(_mk_instr(t)),
+        },
+        "action": {
+            "world_vector": tf.constant(rng.normal(size=(t, 3)).astype(np.float32)),
+            "rotation_delta": tf.constant(rng.normal(size=(t, 3)).astype(np.float32)),
+            "gripper_closedness_action": tf.constant(act_grip),
+        },
+    }
+    res = TR.kuka_dataset_transform(traj)
+    out[f"kuka{SEP}in{SEP}pose"] = pose
+    out[f"kuka{SEP}in{SEP}grip_closed"] = grip_closed
+    out[f"kuka{SEP}in{SEP}act_grip"] = act_grip
+    out[f"kuka{SEP}out{SEP}state"] = _np(res["observation"]["state"])
+    out[f"kuka{SEP}out{SEP}action"] = _np(res["action"])
+    out[f"kuka{SEP}out{SEP}language_action"] = _np(res["language_action"])
+
+    # --- bridge_orig / bridge_dataset (ref transforms.py:245-272): drop-first,
+    # binarize gripper, relabel actions from reached state (truncating the
+    # final step), UNclipped gripper_state.
+    bstate = np.zeros((t, 7), np.float32)
+    bstate[:, :3] = rng.normal(size=(t, 3)) * 0.3
+    bstate[:, 3:6] = rng.uniform(-np.pi, np.pi, size=(t, 3))
+    bstate[:, 6] = rng.uniform(-0.1, 1.1, size=t)  # probes the no-clip contract
+    bact = rng.normal(size=(t, 7)).astype(np.float32)
+    bact[:, 6] = np.array([0.97, 0.5, 0.02, 0.4, 0.99, 0.6, 0.96, 0.01, 0.5])
+    res = TR.bridge_orig_dataset_transform(
+        {
+            "observation": {"state": tf.constant(bstate)},
+            "action": tf.constant(bact),
+            "language_instruction": tf.constant(_mk_instr(t)),
+        }
+    )
+    out[f"bridge_orig{SEP}in{SEP}state"] = bstate
+    out[f"bridge_orig{SEP}in{SEP}action"] = bact
+    out[f"bridge_orig{SEP}out{SEP}action"] = _np(res["action"])
+    out[f"bridge_orig{SEP}out{SEP}EEF_state"] = _np(res["observation"]["EEF_state"])
+    out[f"bridge_orig{SEP}out{SEP}gripper_state"] = _np(res["observation"]["gripper_state"])
+
+    # --- ego4d / human (ref transforms.py:1484-1512): the transform is an
+    # identity on the sample (it only prints). Pin that: numeric fields pass
+    # through untouched and no action/language_action key is invented.
+    hstate = rng.normal(size=(t, 4)).astype(np.float32)
+    hsample = {
+        "observation": {"state": tf.constant(hstate), "image": tf.constant([b"img"] * t)},
+        "language_instruction": tf.constant(_mk_instr(t)),
+    }
+    hres = TR.human_dataset_transform(dict(hsample))
+    assert set(hres) == set(hsample), (set(hres), set(hsample))
+    assert set(hres["observation"]) == set(hsample["observation"])
+    out[f"ego4d{SEP}in{SEP}state"] = hstate
+    out[f"ego4d{SEP}out{SEP}state"] = _np(hres["observation"]["state"])
+    out[f"ego4d{SEP}identity"] = np.asarray(True)
+
+    np.savez(OUT / "datasets_r4.npz", **out)
+    print(f"datasets_r4.npz: {len(out)} arrays")
+
+
+def gen_transform_coverage_map():
+    """Dump registry key -> reference transform FUNCTION name, so the parity
+    tests can assert golden coverage over distinct reference implementations
+    (a new alias key can't silently fall out of the net)."""
+    import json
+
+    cov = {k: fn.__name__ for k, fn in TR.OXE_STANDARDIZATION_TRANSFORMS.items()}
+    (OUT / "ref_transform_map.json").write_text(json.dumps(cov, indent=1, sort_keys=True))
+    print(f"ref_transform_map.json: {len(cov)} keys, {len(set(cov.values()))} distinct fns")
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     sum_actions = _extract_base_dataset_fns()
@@ -1494,6 +1595,8 @@ def main():
     gen_helpers_suite()
     gen_langact_suite(sum_actions)
     gen_dataset_suite()
+    gen_dataset_suite_r4()
+    gen_transform_coverage_map()
     gen_image_suite()
     gen_policy_suite()
     gen_stats_suite()
