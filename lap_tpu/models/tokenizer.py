@@ -54,13 +54,17 @@ GEMMA3_IMAGE_PLACEHOLDER_LEN = 256
 def _load_processor(env_var: str) -> spm.SentencePieceProcessor:
     path = os.environ.get(env_var)
     if path and Path(path).exists():
-        return spm.SentencePieceProcessor(model_file=path)
+        proc = spm.SentencePieceProcessor(model_file=path)
+        proc.is_test_vocab = False
+        return proc
     logger.warning(
         "%s not set or missing; using the built-in deterministic test "
         "vocabulary (NOT byte-compatible with released checkpoints).",
         env_var,
     )
-    return spm.build_test_processor()
+    proc = spm.build_test_processor()
+    proc.is_test_vocab = True
+    return proc
 
 
 def _resolve_prompt_format(fmt) -> PromptFormat:

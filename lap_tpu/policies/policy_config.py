@@ -60,6 +60,28 @@ def _build_transform_stacks(train_config, norm_stats, *, default_prompt=None, ar
     return input_stack, output_stack
 
 
+def _require_real_tokenizer(stacks, *, allow_test_vocab: bool):
+    """Serving a trained checkpoint through the built-in test vocabulary
+    produces garbage reasoning text (the vocab is NOT byte-compatible with
+    released checkpoints). Hard-fail unless the caller explicitly opts in
+    (tests / benchmarks on fabricated checkpoints)."""
+    if allow_test_vocab:
+        return
+    for stack in stacks:
+        for transform in stack:
+            tok = getattr(transform, "tokenizer", None)
+            proc = getattr(tok, "_tokenizer", None)
+            if getattr(proc, "is_test_vocab", False):
+                raise RuntimeError(
+                    "Refusing to serve a trained checkpoint with the built-in "
+                    "TEST tokenizer vocabulary: reasoning/token outputs would "
+                    "be garbage. Point LAP_TPU_TOKENIZER_MODEL (or "
+                    "LAP_TPU_GEMMA3_TOKENIZER_MODEL) at the real tokenizer "
+                    ".model file, or pass allow_test_vocab=True "
+                    "(--allow_test_vocab on the CLI) for test checkpoints."
+                )
+
+
 def _restore(train_config, checkpoint_dir: Path):
     from lap_tpu.training.checkpoints import restore_params
 
@@ -87,6 +109,7 @@ def create_trained_policy(
     *,
     default_prompt: str | None = None,
     num_steps: int = 10,
+    allow_test_vocab: bool = False,
 ) -> Policy:
     checkpoint_dir = Path(checkpoint_dir)
     model, params = _restore(train_config, checkpoint_dir)
@@ -94,6 +117,7 @@ def create_trained_policy(
     inputs, outputs = _build_transform_stacks(
         train_config, norm_stats, default_prompt=default_prompt, ar=False
     )
+    _require_real_tokenizer([inputs, outputs], allow_test_vocab=allow_test_vocab)
     return Policy(
         model,
         params,
@@ -111,6 +135,7 @@ def create_trained_policy_ar(
     default_prompt: str | None = None,
     max_decoding_steps: int = 390,
     temperature: float = 0.0,
+    allow_test_vocab: bool = False,
 ) -> ARPolicy:
     checkpoint_dir = Path(checkpoint_dir)
     model, params = _restore(train_config, checkpoint_dir)
@@ -118,6 +143,7 @@ def create_trained_policy_ar(
     inputs, outputs = _build_transform_stacks(
         train_config, norm_stats, default_prompt=default_prompt, ar=True
     )
+    _require_real_tokenizer([inputs, outputs], allow_test_vocab=allow_test_vocab)
     return ARPolicy(
         model,
         params,

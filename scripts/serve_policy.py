@@ -79,10 +79,12 @@ def create_policy(args):
 
     if ar:
         return policy_config.create_trained_policy_ar(
-            train_config, checkpoint_dir, default_prompt=args.default_prompt
+            train_config, checkpoint_dir, default_prompt=args.default_prompt,
+            allow_test_vocab=args.allow_test_vocab,
         )
     return policy_config.create_trained_policy(
-        train_config, checkpoint_dir, default_prompt=args.default_prompt
+        train_config, checkpoint_dir, default_prompt=args.default_prompt,
+        allow_test_vocab=args.allow_test_vocab,
     )
 
 
@@ -109,6 +111,12 @@ def main():
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--record_dir", default=None)
+    parser.add_argument(
+        "--allow_test_vocab", action="store_true",
+        help="serve a checkpoint through the built-in test vocabulary "
+        "(ONLY for fabricated test checkpoints; real checkpoints need "
+        "LAP_TPU_TOKENIZER_MODEL)",
+    )
     args = parser.parse_args()
 
     policy = create_policy(args)
