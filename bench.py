@@ -154,6 +154,67 @@ def bench_inference(cfg, on_tpu: bool, *, iters: int, gemma3: bool = False) -> f
     return float(np.percentile(np.array(per_iter), 50))
 
 
+def bench_ar_decode(cfg, on_tpu: bool) -> dict:
+    """The SECOND serving mode: right-aligned prefill + greedy cached AR
+    decode (reference lap.py:677-766, <=390-token budget).
+
+    Measures the full-budget latency at two budgets to split per-token decode
+    cost from prefill+fixed overhead:
+        t(B) = overhead + B * per_token
+    and reports
+      - ar_tokens_per_sec      = 1 / per_token        (decode throughput)
+      - ar_full_budget_ms      = t(390)               (worst-case serving hit)
+      - ar_langact_hz          = 1 / t(n_langact)     (rate at which one
+        parsed language action of typical length can be served)
+    """
+    model = cfg.create_module()
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    params = _init_params(model, dtype)
+    rng = jax.random.PRNGKey(0)
+    obs = cfg.fake_obs(1)
+
+    budgets = (32, 390) if on_tpu else (4, 16)
+    iters = 8 if on_tpu else 2
+
+    def timed(budget: int) -> float:
+        fn = jax.jit(
+            lambda p, r, o: model.apply(
+                p, r, o,
+                max_decoding_steps=budget,
+                temperature=0.0,
+                stop_on_eos=False,  # deterministic full-budget work
+                method=model.sample_tokens,
+            )
+        )
+        np.asarray(fn(params, rng, obs))  # compile + sync
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(params, rng, obs)
+            np.asarray(out)
+            ts.append((time.perf_counter() - t0) / iters)
+        return float(np.median(ts))
+
+    t_small, t_full = timed(budgets[0]), timed(budgets[1])
+    per_token = max((t_full - t_small) / (budgets[1] - budgets[0]), 1e-9)
+    overhead = max(t_small - budgets[0] * per_token, 0.0)
+
+    # Tokens for one typical parsed language action (verbose_with_rotation
+    # summary text + EOS), counted with the serving tokenizer.
+    from lap_tpu.models.tokenizer import PaligemmaTokenizer
+
+    text = "move forward 5 cm, tilt left 10 degrees, close gripper"
+    n_langact = len(PaligemmaTokenizer(cfg.max_token_len)._tokenizer.encode(text)) + 1
+    t_langact = overhead + n_langact * per_token
+    return {
+        "ar_tokens_per_sec": round(1.0 / per_token, 1),
+        "ar_full_budget_ms": round(t_full * 1e3, 1),
+        "ar_langact_tokens": n_langact,
+        "ar_langact_hz": round(1.0 / t_langact, 2),
+    }
+
+
 def _fake_train_batch(cfg, batch: int):
     obs = cfg.fake_obs(batch)
     obs = obs.replace(
@@ -251,7 +312,8 @@ def bench_train_step(on_tpu: bool) -> dict:
             )
             return loss
 
-        step_ms = timed_steps(jax.jit(jax.value_and_grad(loss_full)), params, rng)
+        jitted = jax.jit(jax.value_and_grad(loss_full))
+        step_ms = timed_steps(jitted, params, rng)
         tokens_per_example = 256 * len(cfg.image_keys) + cfg.max_token_len + cfg.action_horizon + 1
         flops = _model_flops_per_example(cfg, params) * batch
         out.update(
@@ -268,6 +330,27 @@ def bench_train_step(on_tpu: bool) -> dict:
             if on_tpu
             else None,
         )
+        # Cross-check the analytic 6NT estimate against XLA's own count of
+        # the compiled step. XLA counts executed (hardware) flops incl. remat
+        # recompute, so xla >= analytic is expected; a LOWER xla number would
+        # mean the analytic path-classification heuristics overcount.
+        try:
+            compiled = jitted.lower(params, rng, jnp.uint32(0)).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            xla_flops = float(ca["flops"])
+            out.update(
+                train_full_flops_analytic=round(flops),
+                train_full_flops_xla=round(xla_flops),
+                train_full_flops_xla_over_analytic=round(xla_flops / flops, 3),
+                train_full_mfu_xla_hw=round(
+                    (xla_flops / (step_ms / 1e3)) / V5E_BF16_PEAK_FLOPS, 3
+                )
+                if on_tpu
+                else None,
+            )
+        except Exception as e:  # noqa: BLE001 - cost_analysis is best-effort
+            out["train_full_xla_flops_skipped"] = str(e)[:120]
     except Exception as e:  # noqa: BLE001 - OOM / compile limits: skip extras
         out["train_full_skipped"] = str(e)[:120]
 
@@ -307,51 +390,70 @@ def bench_train_step(on_tpu: bool) -> dict:
     return out
 
 
+_BENCH_RLDS_DIR: list = []  # lazily fabricated, shared between loader benches
+
+
+def _bench_rlds_dir() -> str:
+    """Fabricated RLDS libero episodes with real 224x224 JPEGs (one-time)."""
+    if _BENCH_RLDS_DIR:
+        return _BENCH_RLDS_DIR[0]
+    import tempfile
+
+    import tests.test_transforms_oxe as tto
+    from lap_tpu.data import rlds
+    from lap_tpu.data.episode_pipeline import encode_jpeg
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="lap_bench_loader")
+    orig = tto.IMGS
+    tto.IMGS = [
+        encode_jpeg(rng.integers(0, 255, (224, 224, 3), np.uint8))
+        for _ in range(tto.T)
+    ]
+    try:
+        fab = tto.FABRICATORS["libero_spatial_no_noops"]
+        rlds.write_rlds_dataset(
+            tmp, "libero_spatial_no_noops", [fab() for _ in range(16)]
+        )
+    finally:
+        tto.IMGS = orig
+    _BENCH_RLDS_DIR.append(tmp)
+    return tmp
+
+
+def _bench_train_config(model_cfg, batch: int):
+    import dataclasses
+
+    from lap_tpu.training import config as _config
+
+    cfg = _config.get_config("debug")
+    return dataclasses.replace(
+        cfg,
+        model=model_cfg,
+        batch_size=batch,
+        data=dataclasses.replace(
+            cfg.data,
+            repo_id="bench",
+            data_mix="libero_spatial_no_noops",
+            rlds_data_dir=_bench_rlds_dir(),
+            val_fraction=0.0,
+            shuffle_buffer_size=64,
+        ),
+    )
+
+
 def bench_loader() -> dict:
     """Host input-pipeline throughput: fabricated RLDS episodes with real
     224x224 JPEGs through the full loader (TFRecord read -> standardize ->
     chunk -> shuffle -> decode+resize -> tokenize -> normalize -> batch).
     The number to compare against train_full_examples_per_sec_per_chip: the
     per-host pipeline must outrun the chips it feeds."""
-    import dataclasses
-    import tempfile
-
     try:
-        import tests.test_transforms_oxe as tto
-        from lap_tpu.data import rlds
-        from lap_tpu.data.episode_pipeline import encode_jpeg
         from lap_tpu.data.loader import create_data_loader
         from lap_tpu.training import config as _config
 
-        rng = np.random.default_rng(0)
-        tmp = tempfile.mkdtemp(prefix="lap_bench_loader")
-        orig = tto.IMGS
-        tto.IMGS = [
-            encode_jpeg(rng.integers(0, 255, (224, 224, 3), np.uint8))
-            for _ in range(tto.T)
-        ]
-        try:
-            fab = tto.FABRICATORS["libero_spatial_no_noops"]
-            rlds.write_rlds_dataset(
-                tmp, "libero_spatial_no_noops", [fab() for _ in range(16)]
-            )
-        finally:
-            tto.IMGS = orig
-
-        cfg = _config.get_config("debug")
         batch = 8
-        cfg = dataclasses.replace(
-            cfg,
-            batch_size=batch,
-            data=dataclasses.replace(
-                cfg.data,
-                repo_id="bench",
-                data_mix="libero_spatial_no_noops",
-                rlds_data_dir=tmp,
-                val_fraction=0.0,
-                shuffle_buffer_size=64,
-            ),
-        )
+        cfg = _bench_train_config(_config.get_config("debug").model, batch)
         loader = create_data_loader(cfg, None)
         it = iter(loader)
         for _ in range(3):  # warm the producer threads
@@ -366,6 +468,98 @@ def bench_loader() -> dict:
         return {"loader_examples_per_sec_host": round(n * batch / dt, 1)}
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         return {"loader_bench_skipped": str(e)[:120]}
+
+
+def bench_train_with_input(on_tpu: bool) -> dict:
+    """Steady-state full-model train step with the HOST PIPELINE ATTACHED:
+    batches stream from the real loader (TFRecord -> standardize -> decode ->
+    tokenize -> batch -> device_put) while the chip trains. Proving ground
+    for the overlap claim: this number should sit within a few percent of
+    the device-only ``train_full_step_ms`` (reference operating model:
+    tfdata_pipeline.py:123-225 prefetch_to_device(2))."""
+    try:
+        from lap_tpu.data.loader import create_data_loader
+
+        cfg = _flagship_cfg(on_tpu, action_horizon=10)  # same as bench_train_step
+        batch = 8 if on_tpu else 2
+        tc = _bench_train_config(cfg, batch)
+        model = cfg.create_module()
+        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        params = _init_params(model, dtype)
+        rng = jax.random.PRNGKey(0)
+
+        def loss_full(p, r, obs, actions, seed):
+            loss, _ = model.apply(
+                p, jax.random.fold_in(r, seed), obs, actions,
+                train=True, method=model.compute_loss,
+            )
+            return loss
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_full))
+        loader = create_data_loader(tc, None)
+        it = iter(loader)
+        obs, actions = jax.device_put(next(it))
+        loss, grads = grad_fn(params, rng, obs, actions, jnp.uint32(0))
+        jax.block_until_ready(loss)
+        del grads
+
+        iters = 15 if on_tpu else 3
+        ts = []
+        for rep in range(2):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                obs, actions = jax.device_put(next(it))
+                # Seed chained through the previous loss: successive steps
+                # serialize on device (two ~6 GB gradient buffers never
+                # coexist) while the host keeps fetching/putting batches —
+                # the same two rules as timed_steps in bench_train_step.
+                seed = jnp.uint32(rep * iters + i) + loss.astype(jnp.uint32) * 0
+                loss, grads = grad_fn(params, rng, obs, actions, seed)
+                del grads
+            np.asarray(loss)  # fence: the last step's loss reaches the host
+            ts.append((time.perf_counter() - t0) / iters)
+        if hasattr(it, "close"):
+            it.close()
+        return {"train_with_input_step_ms": round(float(np.median(ts)) * 1e3, 1)}
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        return {"train_with_input_skipped": str(e)[:160]}
+
+
+def bench_fast_bpe() -> dict:
+    """Host-side FAST action-codec hot loop: learned-BPE encode of a typical
+    quantized-DCT stream (320 symbols, low-entropy tail), C++ kernel vs the
+    pure-Python reference."""
+    try:
+        from lap_tpu.models.bpe import IntBPE
+
+        rng = np.random.default_rng(0)
+        corpus = []
+        for _ in range(64):
+            s = rng.integers(0, 256, size=320).tolist()
+            s[160:] = [0] * 160  # DCT tail of zeros
+            corpus.append(s)
+        bpe = IntBPE.train(corpus, alphabet_size=256, num_merges=512)
+        seqs = corpus[:32]
+        bpe.encode(seqs[0])  # trigger the native build outside the timing
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(20):
+            for s in seqs:
+                bpe.encode(s)
+                n += 1
+        native_us = (time.perf_counter() - t0) / n * 1e6
+        t0 = time.perf_counter()
+        m = 0
+        for s in seqs[:8]:
+            bpe.encode_py(s)
+            m += 1
+        py_us = (time.perf_counter() - t0) / m * 1e6
+        return {
+            "fast_bpe_encode_us": round(native_us, 1),
+            "fast_bpe_encode_py_us": round(py_us, 1),
+        }
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        return {"fast_bpe_skipped": str(e)[:120]}
 
 
 def main():
@@ -389,8 +583,14 @@ def main():
         record["gemma3_4b_hz"] = round(1.0 / g3_s, 2)
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["gemma3_4b_skipped"] = str(e)[:120]
+    try:
+        record.update(bench_ar_decode(_flagship_cfg(on_tpu, scan_unroll=18 if on_tpu else 1), on_tpu))
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        record["ar_decode_skipped"] = str(e)[:120]
     record.update(bench_train_step(on_tpu))
+    record.update(bench_train_with_input(on_tpu))
     record.update(bench_loader())
+    record.update(bench_fast_bpe())
     print(json.dumps(record))
 
 

@@ -185,4 +185,70 @@ int unigram_encode(void* handle, const char* text, int text_len,
     return count;
 }
 
+// ---------------------------------------------------------------------------
+// FAST learned-BPE hot loop: greedy lowest-rank-first merging (GPT-2 bpe()).
+// Semantics match lap_tpu/models/bpe.py IntBPE.encode exactly: find the
+// globally lowest-rank adjacent pair, merge ALL its occurrences
+// left-to-right, repeat until no registered pair remains.
+// ---------------------------------------------------------------------------
+
+struct BpeTable {
+    std::unordered_map<uint64_t, int32_t> rank;  // (left<<32 | right) -> rank
+    int32_t alphabet_size;
+};
+
+static inline uint64_t bpe_key(int32_t l, int32_t r) {
+    return (static_cast<uint64_t>(static_cast<uint32_t>(l)) << 32) |
+           static_cast<uint32_t>(r);
+}
+
+void* bpe_create(const int32_t* merges, int n_merges, int alphabet_size) {
+    auto* t = new BpeTable();
+    t->alphabet_size = alphabet_size;
+    t->rank.reserve(static_cast<size_t>(n_merges) * 2);
+    for (int i = 0; i < n_merges; ++i)
+        t->rank.emplace(bpe_key(merges[2 * i], merges[2 * i + 1]), i);
+    return t;
+}
+
+void bpe_free(void* handle) { delete static_cast<BpeTable*>(handle); }
+
+// Encode seq (n ints) into out (capacity out_cap); returns token count.
+int bpe_encode(void* handle, const int32_t* seq, int n, int32_t* out, int out_cap) {
+    const BpeTable& t = *static_cast<BpeTable*>(handle);
+    std::vector<int32_t> ids(seq, seq + n);
+    std::vector<int32_t> next;
+    next.reserve(n);
+    while (ids.size() >= 2) {
+        int32_t best_rank = INT32_MAX;
+        for (size_t i = 0; i + 1 < ids.size(); ++i) {
+            auto it = t.rank.find(bpe_key(ids[i], ids[i + 1]));
+            if (it != t.rank.end() && it->second < best_rank) best_rank = it->second;
+        }
+        if (best_rank == INT32_MAX) break;
+        // resolve the winning pair from its rank via a second scan (the rank
+        // map is pair->rank; scanning again avoids storing the inverse).
+        int32_t new_id = t.alphabet_size + best_rank;
+        next.clear();
+        size_t i = 0;
+        while (i < ids.size()) {
+            if (i + 1 < ids.size()) {
+                auto it = t.rank.find(bpe_key(ids[i], ids[i + 1]));
+                if (it != t.rank.end() && it->second == best_rank) {
+                    next.push_back(new_id);
+                    i += 2;
+                    continue;
+                }
+            }
+            next.push_back(ids[i]);
+            ++i;
+        }
+        ids.swap(next);
+    }
+    int count = static_cast<int>(ids.size());
+    if (count > out_cap) count = out_cap;
+    for (int i = 0; i < count; ++i) out[i] = ids[i];
+    return count;
+}
+
 }  // extern "C"

@@ -35,6 +35,7 @@ class IntBPE:
         self._expand: list[tuple[int, ...]] = [(i,) for i in range(self.alphabet_size)]
         for left, right in self.merges:
             self._expand.append(self._expand[left] + self._expand[right])
+        self._native = None  # lazily-built C++ encoder (bpe_encode)
 
     @property
     def vocab_size(self) -> int:
@@ -43,7 +44,25 @@ class IntBPE:
     # -- apply / invert -----------------------------------------------------
 
     def encode(self, seq: list[int]) -> list[int]:
-        """Apply merges greedily, lowest rank first (GPT-2 bpe())."""
+        """Apply merges greedily, lowest rank first (GPT-2 bpe()).
+
+        Hot path of FAST tokenization (per-sample at pre-train batch rates):
+        routed through the C++ kernel in csrc/lap_native.cpp when available,
+        with :meth:`encode_py` as the always-correct fallback (parity-tested
+        in tests/test_fast_bpe.py)."""
+        if self._native is None and self.merges:
+            try:
+                from lap_tpu.native import NativeIntBPE
+
+                self._native = NativeIntBPE(self.merges, self.alphabet_size)
+            except Exception:  # noqa: BLE001 - no toolchain: Python fallback
+                self._native = False
+        if self._native:
+            return self._native.encode(seq)
+        return self.encode_py(seq)
+
+    def encode_py(self, seq: list[int]) -> list[int]:
+        """Pure-Python reference implementation of :meth:`encode`."""
         ids = list(seq)
         if len(ids) < 2:
             return ids
@@ -130,6 +149,33 @@ class IntBPE:
             alphabet_size=int(blob["alphabet_size"]),
             merges=[tuple(m) for m in blob["merges"]],
         )
+
+    # Base symbols in an emitted export: one printable unicode char per
+    # quantization bin, starting past ASCII so merged strings never collide
+    # with the "left right" separator in merges entries.
+    _EXPORT_CHAR_BASE = 0x100
+
+    def to_hf_export(self, path: str | Path) -> None:
+        """Emit a ``tokenizer.json``-shaped export of this vocabulary (the
+        format ``from_hf_export`` consumes; reference consumption point
+        tokenizer.py:563-584 via AutoProcessor). Round-trip proven in
+        tests/test_fast_bpe.py."""
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+
+        def sym(i: int) -> str:
+            return "".join(chr(self._EXPORT_CHAR_BASE + b) for b in self._expand[i])
+
+        vocab = {sym(i): i for i in range(self.alphabet_size)}
+        merges_out = []
+        for rank, (left, right) in enumerate(self.merges):
+            merges_out.append(f"{sym(left)} {sym(right)}")
+            vocab[sym(self.alphabet_size + rank)] = self.alphabet_size + rank
+        blob = {
+            "version": "1.0",
+            "model": {"type": "BPE", "vocab": vocab, "merges": merges_out},
+        }
+        (path / "tokenizer.json").write_text(json.dumps(blob))
 
     @classmethod
     def from_hf_export(cls, path: str | Path) -> "IntBPE":

@@ -706,8 +706,12 @@ class LAP(nn.Module):
         *,
         max_decoding_steps: int = 390,
         temperature: float = 0.0,
+        stop_on_eos: bool = True,
     ):
-        """Right-aligned prefill + cached AR decode (lap.py:677-766)."""
+        """Right-aligned prefill + cached AR decode (lap.py:677-766).
+
+        ``stop_on_eos=False`` forces the full token budget (benchmarking:
+        deterministic work independent of what the weights emit)."""
         cfg = self.config
         observation = preprocess_observation(
             None,
@@ -771,7 +775,8 @@ class LAP(nn.Module):
 
         def cond(carry):
             *_, eos_mask, step_i = carry
-            return (~jnp.all(eos_mask)) & (step_i < max_decoding_steps)
+            not_done = ~jnp.all(eos_mask) if stop_on_eos else jnp.bool_(True)
+            return not_done & (step_i < max_decoding_steps)
 
         _, _, output_tokens, _, _, _ = jax.lax.while_loop(
             cond,

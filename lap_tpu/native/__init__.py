@@ -64,6 +64,13 @@ def get_lib():
         lib.unigram_encode.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.bpe_create.restype = ctypes.c_void_p
+        lib.bpe_create.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        lib.bpe_free.argtypes = [ctypes.c_void_p]
+        lib.bpe_encode.restype = ctypes.c_int
+        lib.bpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ]
         _lib = lib
     except Exception as e:  # noqa: BLE001
         logger.warning("native lib load failed (%s); using Python fallbacks", e)
@@ -99,6 +106,31 @@ def rotate180_u8(img: np.ndarray) -> np.ndarray | None:
     h, w, c = out.shape
     lib.rotate180_u8(out.ctypes.data, h, w, c)
     return out
+
+
+class NativeIntBPE:
+    """C++ greedy lowest-rank-first BPE over integer symbol streams
+    (semantics identical to lap_tpu.models.bpe.IntBPE.encode)."""
+
+    def __init__(self, merges: list[tuple[int, int]], alphabet_size: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native lib unavailable")
+        self._lib = lib
+        flat = np.ascontiguousarray(np.asarray(merges, np.int32).reshape(-1))
+        self._handle = lib.bpe_create(flat.ctypes.data, len(merges), alphabet_size)
+
+    def encode(self, seq: list[int]) -> list[int]:
+        arr = np.ascontiguousarray(np.asarray(seq, np.int32))
+        if arr.size < 2:
+            return arr.tolist()
+        out = np.empty(arr.size, np.int32)
+        n = self._lib.bpe_encode(self._handle, arr.ctypes.data, arr.size, out.ctypes.data, out.size)
+        return out[:n].tolist()
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and getattr(self, "_lib", None):
+            self._lib.bpe_free(self._handle)
 
 
 class NativeUnigramVocab:

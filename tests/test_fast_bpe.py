@@ -138,3 +138,37 @@ def test_fast_bpe_matches_released_processor():
     ours = FASTActionCodec(num_bins=bpe.alphabet_size, bpe=bpe).encode(actions[0])
     theirs = hf(actions)[0]
     assert list(ours) == list(theirs)
+
+
+def test_bpe_export_roundtrip(tmp_path):
+    """to_hf_export emits the tokenizer.json shape from_hf_export consumes:
+    emit -> load -> identical alphabet/merges and identical encodings."""
+    rng = np.random.default_rng(11)
+    bpe = IntBPE.train(_corpus(rng), alphabet_size=16, num_merges=30)
+    bpe.to_hf_export(tmp_path)
+    loaded = IntBPE.from_hf_export(tmp_path)
+    assert loaded.alphabet_size == bpe.alphabet_size
+    assert loaded.merges == bpe.merges
+    for seq in _corpus(rng, n=8):
+        assert loaded.encode(seq) == bpe.encode(seq)
+
+
+def test_bpe_native_matches_python():
+    """The C++ encode kernel must reproduce the Python reference exactly
+    (including overlapping-pair and repeated-symbol cases)."""
+    pytest.importorskip("lap_tpu.native")
+    from lap_tpu.native import NativeIntBPE, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(5)
+    bpe = IntBPE.train(_corpus(rng, n=96, length=48), alphabet_size=16, num_merges=60)
+    native = NativeIntBPE(bpe.merges, bpe.alphabet_size)
+    cases = _corpus(rng, n=32, length=48) + [
+        [], [3], [0, 0], [0] * 40, [1, 1, 1, 1, 1], list(range(16)) * 4,
+    ]
+    for seq in cases:
+        assert native.encode(seq) == bpe.encode_py(seq), seq
+    # and the IntBPE front door routes through the same result
+    for seq in cases:
+        assert bpe.encode(seq) == bpe.encode_py(seq)
