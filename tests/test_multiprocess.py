@@ -35,7 +35,8 @@ def test_two_process_data_path():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            # generous: each worker also traces+lowers the LAP-3B train step
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -43,4 +44,5 @@ def test_two_process_data_path():
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"MPWORKER_FLAGSHIP_OK {i}" in out, out[-3000:]
         assert f"MPWORKER_OK {i}" in out, out[-3000:]
