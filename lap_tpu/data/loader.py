@@ -241,7 +241,9 @@ class TransformedDataLoader:
 
     def _to_device(self, batch: dict):
         actions = batch.pop("actions", None)
-        obs = CoTObservation.from_dict(batch)
+        # Images stay uint8 across the host->device transfer (4x fewer
+        # bytes); preprocess_observation converts to [-1, 1] float on device.
+        obs = CoTObservation.from_dict(batch, convert_images=False)
         pair = (obs, actions)
         if self.mesh is None:
             return pair

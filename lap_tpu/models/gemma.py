@@ -220,7 +220,13 @@ class Attention(nn.Module):
                 idx, k, v = update_cache(k, v, idx, cache_k, cache_v)
             else:
                 # Suffix decode (e.g. flow-matching action expert): fresh
-                # suffix K/V appended after the cached prefix.
+                # suffix K/V appended after the cached prefix. Measured on
+                # v5e (round 4): this concat is FREE at LAP-3B shape — XLA
+                # fuses the concatenated K/V into the attention reads
+                # without materializing it. An explicit preallocated-cache
+                # dynamic_update_slice variant (threaded through the Euler
+                # carry) was tried and REGRESSED latency ~1-8% because the
+                # update forces a materialized copy; don't re-attempt.
                 idx = idx + k.shape[1]
                 k = jnp.concatenate([cache_k, k], axis=1)
                 v = jnp.concatenate([cache_v, v], axis=1)

@@ -114,7 +114,11 @@ def preprocess_observation(
 
     out_images = {}
     for i, key in enumerate(image_keys):
-        image = observation.images[key]
+        from lap_tpu.models.types import _to_float_image
+
+        # uint8 batches ride the host->device link at 1/4 the bytes (the
+        # loader defers float conversion); normalize to [-1, 1] on device.
+        image = _to_float_image(observation.images[key])
         if image.shape[-3:-1] != image_resolution:
             image = resize_with_pad(image, *image_resolution)
         if train and enable_image_augmentation:
