@@ -112,10 +112,10 @@ def preprocess_observation(
     """Resize (if needed), augment (train only), default image masks."""
     batch_shape = observation.state.shape[:-1]
 
+    from lap_tpu.models.types import _to_float_image
+
     out_images = {}
     for i, key in enumerate(image_keys):
-        from lap_tpu.models.types import _to_float_image
-
         # uint8 batches ride the host->device link at 1/4 the bytes (the
         # loader defers float conversion); normalize to [-1, 1] on device.
         image = _to_float_image(observation.images[key])

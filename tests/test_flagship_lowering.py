@@ -70,3 +70,54 @@ def test_lap3b_train_step_lowers_on_2x2x2_mesh():
     ).lower(rng_spec, state_spec, batch_spec)
     hlo = lowered.as_text()
     assert "sharding" in hlo  # GSPMD annotations made it into the module
+
+
+def test_lap_gemma3_4b_train_step_lowers_on_2x2x2_mesh():
+    """The Gemma3-backbone flagship (lap_gemma3_4b shape) must also lower
+    for the 3-D mesh: sliding-window attention, dual RoPE, QK-norm, and the
+    image-placeholder scatter all trace through the tp/fsdp sharding rules."""
+    cfg = LAPConfig(
+        paligemma_variant="gemma3_4b",
+        action_expert_variant="gemma3_300m",
+        action_dim=32,
+        action_horizon=16,
+        max_token_len=800,
+        enable_action_training=True,
+        enable_langact_training=True,
+    )
+    model = cfg.create_module()
+    tx = create_optimizer(
+        AdamW(clip_gradient_norm=1.0),
+        CosineDecaySchedule(warmup_steps=10, peak_lr=1e-4, decay_steps=100),
+    )
+    steps = make_step_functions(model, tx, param_dtype=jnp.bfloat16)
+    mesh = make_mesh(fsdp_devices=2, tp_devices=2)
+
+    state_shapes = jax.eval_shape(steps.init_fn, jax.random.PRNGKey(0))
+    state_sharding = fsdp_sharding(state_shapes, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(state_sharding)[0]
+    specs = [s.spec for _, s in flat]
+    assert any("tp" in str(s) for s in specs), "tp axis unused"
+    assert any("fsdp" in str(s) for s in specs), "fsdp axis unused"
+
+    batch = 8
+    obs_shape, act_shape = jax.eval_shape(
+        lambda: (cfg.fake_obs(batch), cfg.fake_actions(batch))
+    )
+    batch_spec = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=data_sharding(mesh)),
+        (obs_shape, act_shape),
+    )
+    state_spec = jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        state_shapes,
+        state_sharding,
+    )
+    rng_spec = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+    lowered = jax.jit(
+        steps.train_step,
+        in_shardings=(replicated(mesh), state_sharding, data_sharding(mesh)),
+        out_shardings=(state_sharding, replicated(mesh)),
+        donate_argnums=(1,),
+    ).lower(rng_spec, state_spec, batch_spec)
+    assert "sharding" in lowered.as_text()
