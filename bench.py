@@ -124,13 +124,15 @@ def _with_image_placeholders(cfg, obs):
     return obs.replace(tokenized_prompt=jnp.asarray(toks))
 
 
-def bench_inference(cfg, on_tpu: bool, *, iters: int, gemma3: bool = False) -> float:
-    """p50 seconds per action chunk (policy inference, batch 1)."""
+def bench_inference(
+    cfg, on_tpu: bool, *, iters: int, gemma3: bool = False, batch: int = 1
+) -> float:
+    """p50 seconds per action-chunk BATCH (policy inference)."""
     model = cfg.create_module()
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = _init_params(model, dtype)
     rng = jax.random.PRNGKey(0)
-    obs = cfg.fake_obs(1)
+    obs = cfg.fake_obs(batch)
     if gemma3:
         obs = _with_image_placeholders(cfg, obs)
     # ``noise`` is threaded through so successive calls form a data-dependency
@@ -142,7 +144,7 @@ def bench_inference(cfg, on_tpu: bool, *, iters: int, gemma3: bool = False) -> f
             p, r, o, num_steps=10, noise=n, method=model.sample_actions
         )
     )
-    noise = jax.random.normal(rng, (1, cfg.action_horizon, cfg.action_dim))
+    noise = jax.random.normal(rng, (batch, cfg.action_horizon, cfg.action_dim))
     np.asarray(fn(params, rng, obs, noise))  # compile + sync
 
     per_iter = []
@@ -615,6 +617,19 @@ def main():
         record["gemma3_4b_hz"] = round(1.0 / g3_s, 2)
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["gemma3_4b_skipped"] = str(e)[:120]
+    try:
+        # Fleet serving point: batch-2 inference amortizes the weight reads
+        # (the batch-1 path is HBM-bound), letting ONE chip serve TWO robots
+        # above the 15 Hz DROID control rate.
+        b2_s = bench_inference(
+            _flagship_cfg(on_tpu, scan_unroll=18 if on_tpu else 1),
+            on_tpu,
+            iters=15 if on_tpu else 2,
+            batch=2,
+        )
+        record["serving_batch2_hz_per_robot"] = round(1.0 / b2_s, 2)
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        record["serving_batch2_skipped"] = str(e)[:120]
     try:
         record.update(bench_ar_decode(_flagship_cfg(on_tpu, scan_unroll=18 if on_tpu else 1), on_tpu))
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
