@@ -168,3 +168,71 @@ def test_lap_gemma3_init_params_fn_needs_placeholders():
     params = model.init(jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn)
     assert "img" in params["params"] and "llm" in params["params"]
     assert "action_out_proj" in params["params"]
+
+
+def _dense_inputs(b, t0, t1, key=0):
+    k = jax.random.PRNGKey(key)
+    x0 = jax.random.normal(k, (b, t0, CFG.width))
+    x1 = jax.random.normal(jax.random.fold_in(k, 1), (b, t1, CFG.width))
+    pos = jnp.tile(jnp.arange(t0 + t1)[None], (b, 1))
+    mask = make_attn_mask(
+        jnp.ones((b, t0 + t1), bool),
+        jnp.tile(jnp.array([0] * t0 + [1] * t1)[None], (b, 1)),
+    )
+    return x0, x1, pos, mask
+
+
+def test_gemma3_prefill_then_ar_decode_matches_full_forward():
+    """Cached single-token decode must reproduce the full forward pass —
+    including the sliding-window mask reconstruction on local layers (the
+    dummy config's window of 4 is crossed by the 9-token sequence)."""
+    model = gemma3.Module(configs=[CFG], embed_dtype="float32")
+    b, t0, steps = 1, 7, 2
+    t = t0 + steps
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (b, t, CFG.width))
+    pos = jnp.tile(jnp.arange(t)[None], (b, 1))
+    full_mask = make_attn_mask(
+        jnp.ones((b, t), bool), jnp.tile(jnp.ones(t, jnp.int32)[None], (b, 1))
+    )
+    params = model.init(jax.random.PRNGKey(0), (False,), method=model.init_params)
+
+    (full_out,), _ = model.apply(params, [x], pos, full_mask)
+
+    pre_mask = jnp.pad(full_mask[:, :t0, :t0], ((0, 0), (0, 0), (0, steps)))
+    (pre_out,), cache = model.apply(params, [x[:, :t0]], pos[:, :t0], pre_mask)
+    np.testing.assert_allclose(
+        np.asarray(pre_out), np.asarray(full_out[:, :t0]), atol=1e-5, rtol=1e-5
+    )
+    for step in range(steps):
+        i = t0 + step
+        (step_out,), cache = model.apply(
+            params, [x[:, i : i + 1]], pos[:, i : i + 1], full_mask[:, i : i + 1, :],
+            kv_cache=cache,
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_out[:, 0]), np.asarray(full_out[:, i]),
+            atol=1e-5, rtol=1e-5,
+        )
+
+
+def test_gemma3_suffix_decode_matches_full_forward():
+    """Flow-matching pattern on the Gemma3 backbone: prefill expert-0, run
+    the expert-1 suffix against the cache; numerics must match the joint
+    forward (sliding windows active across the prefix/suffix boundary)."""
+    model = gemma3.Module(configs=[CFG, CFG], embed_dtype="float32")
+    b, t0, t1 = 1, 7, 3
+    x0, x1, pos, mask = _dense_inputs(b, t0, t1, key=5)
+    params = model.init(jax.random.PRNGKey(0), (False, False), method=model.init_params)
+
+    (_, full1), _ = model.apply(params, [x0, x1], pos, mask)
+
+    pre_mask = mask[:, :t0, :t0]
+    _, cache = model.apply(params, [x0, None], pos[:, :t0], pre_mask)
+    suf_mask = mask[:, t0:, :]
+    (_, suf_out), _ = model.apply(
+        params, [None, x1], pos[:, t0:], suf_mask, kv_cache=cache
+    )
+    np.testing.assert_allclose(
+        np.asarray(suf_out), np.asarray(full1), atol=1e-5, rtol=1e-5
+    )
