@@ -131,3 +131,39 @@ def test_posemb_sincos():
     emb = posemb_sincos(jnp.array([0.5]), 32, 4e-3, 4.0)
     assert emb.shape == (1, 32)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_uint8_images_match_prescaled_floats(model_and_params):
+    """Wire-format invariance: the loader now ships uint8 images (4x fewer
+    bytes over the host->device link) and preprocess_observation converts to
+    [-1, 1] on device. A uint8 batch must produce the same loss and sampled
+    actions as the equivalently-prescaled float batch."""
+    model, params = model_and_params
+    rng = np.random.default_rng(7)
+    obs = _obs(TINY, b=2, seed=7)
+    u8 = {
+        k: np.asarray(rng.integers(0, 256, v.shape), np.uint8)
+        for k, v in obs.images.items()
+    }
+    as_float = {k: jnp.asarray(v, jnp.float32) / 127.5 - 1.0 for k, v in u8.items()}
+    obs_u8 = obs.replace(images={k: jnp.asarray(v) for k, v in u8.items()})
+    obs_f = obs.replace(images=as_float)
+    actions = jnp.asarray(rng.normal(size=(2, TINY.action_horizon, TINY.action_dim)), jnp.float32)
+
+    def loss(o):
+        l, _ = model.apply(
+            params, jax.random.PRNGKey(1), o, actions, train=False,
+            method=model.compute_loss,
+        )
+        return l
+
+    np.testing.assert_allclose(np.asarray(loss(obs_u8)), np.asarray(loss(obs_f)), rtol=1e-6)
+
+    def sample(o):
+        return model.apply(
+            params, jax.random.PRNGKey(2), o, num_steps=2,
+            noise=jnp.zeros((2, TINY.action_horizon, TINY.action_dim)),
+            method=model.sample_actions,
+        )
+
+    np.testing.assert_allclose(np.asarray(sample(obs_u8)), np.asarray(sample(obs_f)), rtol=1e-6)
