@@ -209,12 +209,17 @@ def bench_ar_decode(cfg, on_tpu: bool) -> dict:
     from lap_tpu.models.tokenizer import PaligemmaTokenizer
 
     text = "move forward 5 cm, tilt left 10 degrees, close gripper"
-    n_langact = len(PaligemmaTokenizer(cfg.max_token_len)._tokenizer.encode(text)) + 1
+    proc = PaligemmaTokenizer(cfg.max_token_len)._tokenizer
+    n_langact = len(proc.encode(text)) + 1
     t_langact = overhead + n_langact * per_token
     return {
         "ar_tokens_per_sec": round(1.0 / per_token, 1),
         "ar_full_budget_ms": round(t_full * 1e3, 1),
         "ar_langact_tokens": n_langact,
+        # Which vocabulary counted the tokens: piece counts from the
+        # built-in test vocab approximate (but do not equal) the real
+        # PaliGemma segmentation of the sample action text.
+        "ar_langact_vocab": "test" if getattr(proc, "is_test_vocab", True) else "real",
         "ar_langact_hz": round(1.0 / t_langact, 2),
     }
 
@@ -329,8 +334,15 @@ def bench_train_step(on_tpu: bool) -> dict:
             )
             return loss
 
-        jitted = jax.jit(jax.value_and_grad(loss_full))
-        step_ms = timed_steps(jitted, params, rng)
+        # One AOT compile serves both the timing loop and the flops
+        # cross-check below (jit dispatch would compile a second executable
+        # for cost_analysis).
+        compiled = (
+            jax.jit(jax.value_and_grad(loss_full))
+            .lower(params, rng, jnp.uint32(0))
+            .compile()
+        )
+        step_ms = timed_steps(compiled, params, rng)
         tokens_per_example = 256 * len(cfg.image_keys) + cfg.max_token_len + cfg.action_horizon + 1
         flops = _model_flops_per_example(cfg, params) * batch
         out.update(
@@ -361,7 +373,6 @@ def bench_train_step(on_tpu: bool) -> dict:
         # outside that band would mean the classification mis-routes params
         # and the headline MFU is wrong. Measured on v5e: 1.281.
         try:
-            compiled = jitted.lower(params, rng, jnp.uint32(0)).compile()
             ca = compiled.cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
             xla_flops = float(ca["flops"])

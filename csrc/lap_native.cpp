@@ -206,8 +206,10 @@ void* bpe_create(const int32_t* merges, int n_merges, int alphabet_size) {
     auto* t = new BpeTable();
     t->alphabet_size = alphabet_size;
     t->rank.reserve(static_cast<size_t>(n_merges) * 2);
+    // operator[] (not emplace): a duplicated pair keeps the LAST rank,
+    // matching the Python dict comprehension in IntBPE.__post_init__.
     for (int i = 0; i < n_merges; ++i)
-        t->rank.emplace(bpe_key(merges[2 * i], merges[2 * i + 1]), i);
+        t->rank[bpe_key(merges[2 * i], merges[2 * i + 1])] = i;
     return t;
 }
 

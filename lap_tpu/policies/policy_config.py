@@ -112,12 +112,15 @@ def create_trained_policy(
     allow_test_vocab: bool = False,
 ) -> Policy:
     checkpoint_dir = Path(checkpoint_dir)
-    model, params = _restore(train_config, checkpoint_dir)
+    # Stacks + tokenizer guard FIRST: they need only the config and cheap
+    # norm-stats JSON, so a missing real tokenizer fails in milliseconds
+    # instead of after the multi-GB parameter restore.
     norm_stats = _load_norm_stats(checkpoint_dir, train_config.data.asset_id)
     inputs, outputs = _build_transform_stacks(
         train_config, norm_stats, default_prompt=default_prompt, ar=False
     )
     _require_real_tokenizer([inputs, outputs], allow_test_vocab=allow_test_vocab)
+    model, params = _restore(train_config, checkpoint_dir)
     return Policy(
         model,
         params,
@@ -138,12 +141,12 @@ def create_trained_policy_ar(
     allow_test_vocab: bool = False,
 ) -> ARPolicy:
     checkpoint_dir = Path(checkpoint_dir)
-    model, params = _restore(train_config, checkpoint_dir)
     norm_stats = _load_norm_stats(checkpoint_dir, train_config.data.asset_id)
     inputs, outputs = _build_transform_stacks(
         train_config, norm_stats, default_prompt=default_prompt, ar=True
     )
     _require_real_tokenizer([inputs, outputs], allow_test_vocab=allow_test_vocab)
+    model, params = _restore(train_config, checkpoint_dir)
     return ARPolicy(
         model,
         params,

@@ -1,0 +1,65 @@
+"""Shared flagship-shape lowering harness (not a test module).
+
+Used by tests/test_flagship_lowering.py (LAP-3B and Gemma3-4B on the
+in-process 2x2x2 mesh) and tests/multiprocess_worker.py (LAP-3B on a mesh
+spanning a real 2-process gloo cluster, with the batch supplied as
+multi-host global arrays).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lap_tpu.parallel import data_sharding, fsdp_sharding, replicated
+from lap_tpu.training.optimizer import AdamW, CosineDecaySchedule, create_optimizer
+from lap_tpu.training.train_step import make_step_functions
+
+
+def lower_train_step_on_mesh(cfg, mesh, *, batch: int = 8, batch_arrays=None):
+    """Trace + lower (no execution, no weights) the full train step for
+    ``cfg`` against ``mesh``; assert the tp/fsdp axes are actually used and
+    GSPMD annotations reach the module. Returns the lowered computation.
+
+    ``batch_arrays``: optional concrete (obs, actions) global arrays (the
+    multi-process path) — defaults to abstract ShapeDtypeStructs.
+    """
+    model = cfg.create_module()
+    tx = create_optimizer(
+        AdamW(clip_gradient_norm=1.0),
+        CosineDecaySchedule(warmup_steps=10, peak_lr=1e-4, decay_steps=100),
+    )
+    steps = make_step_functions(model, tx, param_dtype=jnp.bfloat16)
+
+    state_shapes = jax.eval_shape(steps.init_fn, jax.random.PRNGKey(0))
+    state_sharding = fsdp_sharding(state_shapes, mesh)
+    # Every big parameter must actually be sharded at this scale, and the tp
+    # axis must be in use (heads/mlp rules) — otherwise the lowering below
+    # validates a layout nobody would run.
+    specs = [
+        s.spec for _, s in jax.tree_util.tree_flatten_with_path(state_sharding)[0]
+    ]
+    assert any("tp" in str(s) for s in specs), "tp axis unused at flagship shape"
+    assert any("fsdp" in str(s) for s in specs), "fsdp axis unused at flagship shape"
+
+    if batch_arrays is None:
+        batch_arrays = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(
+                s.shape, s.dtype, sharding=data_sharding(mesh)
+            ),
+            jax.eval_shape(lambda: (cfg.fake_obs(batch), cfg.fake_actions(batch))),
+        )
+    state_spec = jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        state_shapes,
+        state_sharding,
+    )
+    rng_spec = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+    lowered = jax.jit(
+        steps.train_step,
+        in_shardings=(replicated(mesh), state_sharding, data_sharding(mesh)),
+        out_shardings=(state_sharding, replicated(mesh)),
+        donate_argnums=(1,),
+    ).lower(rng_spec, state_spec, batch_arrays)
+    assert "sharding" in lowered.as_text()  # GSPMD annotations present
+    return lowered

@@ -92,16 +92,15 @@ assert [s["proc"] for s in states] == list(range(n_proc)), states
 # slices via make_array_from_process_local_data — the cross-host FSDP
 # grouping the reference builds in mh_sharding.py:36-60 + data_loader.py:235-246.
 # ---------------------------------------------------------------------------
-import jax.numpy as jnp  # noqa: E402
+import pathlib  # noqa: E402
+
+# Run as a script: the repo root (not tests/) must be importable for the
+# shared lowering helper.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from lap_tpu.models.lap_model import LAPConfig  # noqa: E402
-from lap_tpu.parallel import data_sharding, fsdp_sharding, replicated  # noqa: E402
-from lap_tpu.training.optimizer import (  # noqa: E402
-    AdamW,
-    CosineDecaySchedule,
-    create_optimizer,
-)
-from lap_tpu.training.train_step import make_step_functions  # noqa: E402
+from lap_tpu.parallel import data_sharding  # noqa: E402
+from tests.lowering_utils import lower_train_step_on_mesh  # noqa: E402
 
 cfg = LAPConfig(
     paligemma_variant="gemma_2b",
@@ -112,12 +111,6 @@ cfg = LAPConfig(
     enable_action_training=True,
     enable_langact_training=True,
 )
-model = cfg.create_module()
-tx = create_optimizer(
-    AdamW(clip_gradient_norm=1.0),
-    CosineDecaySchedule(warmup_steps=10, peak_lr=1e-4, decay_steps=100),
-)
-steps = make_step_functions(model, tx, param_dtype=jnp.bfloat16)
 mesh3d = make_mesh(fsdp_devices=2, tp_devices=2)  # dp=2 x fsdp=2 x tp=2 global
 
 global_batch = 8
@@ -138,26 +131,7 @@ assert len(leaf.addressable_shards) == 4, len(leaf.addressable_shards)
 assert len(leaf.sharding.device_set) == 8
 assert leaf.sharding.shard_shape(leaf.shape)[0] == global_batch // 4
 
-state_shapes = jax.eval_shape(steps.init_fn, jax.random.PRNGKey(0))
-state_sharding = fsdp_sharding(state_shapes, mesh3d)
-flat_specs = [
-    s.spec for _, s in jax.tree_util.tree_flatten_with_path(state_sharding)[0]
-]
-assert any("tp" in str(s) for s in flat_specs), "tp axis unused at flagship shape"
-assert any("fsdp" in str(s) for s in flat_specs), "fsdp axis unused at flagship shape"
-state_spec = jax.tree.map(
-    lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
-    state_shapes,
-    state_sharding,
-)
-rng_spec = jax.eval_shape(lambda: jax.random.PRNGKey(0))
-lowered = jax.jit(
-    steps.train_step,
-    in_shardings=(replicated(mesh3d), state_sharding, batch_sharding),
-    out_shardings=(state_sharding, replicated(mesh3d)),
-    donate_argnums=(1,),
-).lower(rng_spec, state_spec, batch)
-assert "sharding" in lowered.as_text()
+lower_train_step_on_mesh(cfg, mesh3d, batch_arrays=batch)
 print(f"MPWORKER_FLAGSHIP_OK {proc_id}", flush=True)
 
 print(f"MPWORKER_OK {proc_id}", flush=True)

@@ -172,3 +172,12 @@ def test_bpe_native_matches_python():
     # and the IntBPE front door routes through the same result
     for seq in cases:
         assert bpe.encode(seq) == bpe.encode_py(seq)
+
+
+def test_bpe_duplicate_merge_pair_keeps_last_rank():
+    """A duplicated merges entry (possible in a hand-edited or buggy export;
+    from_hf_export does not dedup) must resolve identically in Python and
+    C++: the LAST rank wins (dict-comprehension semantics)."""
+    bpe = IntBPE(alphabet_size=4, merges=[(0, 1), (0, 1)])
+    assert bpe.encode_py([0, 1, 2]) == [5, 2]
+    assert bpe.encode([0, 1, 2]) == bpe.encode_py([0, 1, 2])
