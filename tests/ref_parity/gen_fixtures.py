@@ -1575,6 +1575,50 @@ def gen_dataset_suite_r4():
     print(f"datasets_r4.npz: {len(out)} arrays")
 
 
+def _extract_chunk_actions():
+    """AST-extract the DLAP.chunk_actions method (base_dataset.py:387-427):
+    the action-chunk windowing composite (padding mode selected by action
+    encoding; ABS windows converted to position diffs + euler_diff deltas
+    with the gripper column shifted)."""
+    src = pathlib.Path(REF, "lap/datasets/base_dataset.py").read_text()
+    tree = ast.parse(src)
+    fn = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "chunk_actions":
+            fn = node
+            break
+    assert fn is not None
+    import importlib
+
+    H = importlib.import_module("lap.datasets.utils.helpers")
+    ns = {
+        "tf": tf,
+        "gather_with_last_value_padding": gather_with_last_value_padding,
+        "euler_diff": RU.euler_diff,
+    }
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "chunk_extract", "exec"), ns)  # noqa: S102
+    return ns["chunk_actions"], H.ActionEncoding
+
+
+def gen_chunk_suite():
+    chunk_actions, ActionEncoding = _extract_chunk_actions()
+    rng = np.random.default_rng(31)
+    out = {}
+    t, h = 9, 4
+    acts = np.zeros((t, 7), np.float32)
+    acts[:, :3] = rng.normal(size=(t, 3)) * 0.3
+    acts[:, 3:6] = rng.uniform(-np.pi, np.pi, size=(t, 3))  # abs rpy: wraps matter
+    acts[:, 6] = rng.uniform(0, 1, size=t)
+    out["in_actions"] = acts
+    out["in_horizon"] = np.asarray(h)
+    for enc in ("EEF_POS", "ABS_EEF_POS", "JOINT_POS", "JOINT_POS_BIMANUAL"):
+        fake_self = types.SimpleNamespace(action_encoding=getattr(ActionEncoding, enc))
+        res = chunk_actions(fake_self, {"actions": tf.constant(acts)}, h)
+        out[f"chunk{SEP}{enc}"] = _np(res["actions"])
+    np.savez(OUT / "chunks.npz", **out)
+    print(f"chunks.npz: {len(out)} arrays")
+
+
 def gen_transform_coverage_map():
     """Dump registry key -> reference transform FUNCTION name, so the parity
     tests can assert golden coverage over distinct reference implementations
@@ -1596,6 +1640,7 @@ def main():
     gen_langact_suite(sum_actions)
     gen_dataset_suite()
     gen_dataset_suite_r4()
+    gen_chunk_suite()
     gen_transform_coverage_map()
     gen_image_suite()
     gen_policy_suite()
