@@ -1577,9 +1577,11 @@ def gen_dataset_suite_r4():
 
 def _extract_chunk_actions():
     """AST-extract the DLAP.chunk_actions method (base_dataset.py:387-427):
-    the action-chunk windowing composite (padding mode selected by action
-    encoding; ABS windows converted to position diffs + euler_diff deltas
-    with the gripper column shifted)."""
+    the action-chunk windowing composite. Both branches use LAST-VALUE
+    padding (the reference's own docstring claiming zero padding for delta
+    encodings is stale); joint encodings window at h, every non-joint
+    encoding (EEF_POS, EEF_R6, ABS_EEF_POS) windows at h+1 and converts to
+    position diffs + euler_diff deltas with the gripper column shifted."""
     src = pathlib.Path(REF, "lap/datasets/base_dataset.py").read_text()
     tree = ast.parse(src)
     fn = None
@@ -1611,7 +1613,7 @@ def gen_chunk_suite():
     acts[:, 6] = rng.uniform(0, 1, size=t)
     out["in_actions"] = acts
     out["in_horizon"] = np.asarray(h)
-    for enc in ("EEF_POS", "ABS_EEF_POS", "JOINT_POS", "JOINT_POS_BIMANUAL"):
+    for enc in ("EEF_POS", "EEF_R6", "ABS_EEF_POS", "JOINT_POS", "JOINT_POS_BIMANUAL"):
         fake_self = types.SimpleNamespace(action_encoding=getattr(ActionEncoding, enc))
         res = chunk_actions(fake_self, {"actions": tf.constant(acts)}, h)
         out[f"chunk{SEP}{enc}"] = _np(res["actions"])
