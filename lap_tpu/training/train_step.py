@@ -32,8 +32,32 @@ def make_step_functions(
     *,
     ema_schedule: EmaSchedule | None = None,
     param_dtype=jnp.float32,
+    freeze_mask=None,
 ) -> StepFunctions:
-    """Build pure functions over (rng, state, batch); jit/pjit them outside."""
+    """Build pure functions over (rng, state, batch); jit/pjit them outside.
+
+    ``freeze_mask`` (bool pytree, True = frozen): PARTITIONED freezing —
+    frozen params ride through the loss as non-differentiated arguments, so
+    their gradient buffers are never allocated and XLA prunes their backward
+    compute. A mask-based optimizer (optax.multi_transform + set_to_zero)
+    keeps full-tree gradients alive: at LAP-3B that is ~13 GB of dead grads,
+    the difference between a frozen-VLM fine-tune fitting one 16 GB v5e chip
+    or OOMing at 31 GB. Pass a PLAIN tx (no freeze wrapper) with this;
+    ``opt_state`` is laid out over the trainable subset only.
+    """
+
+    def _split(params):
+        trainable = jax.tree.map(lambda p, m: None if m else p, params, freeze_mask)
+        frozen = jax.tree.map(lambda p, m: p if m else None, params, freeze_mask)
+        return trainable, frozen
+
+    def _merge(trainable, frozen):
+        return jax.tree.map(
+            lambda a, b: a if b is None else b,
+            trainable,
+            frozen,
+            is_leaf=lambda x: x is None,
+        )
 
     def init_fn(rng) -> TrainState:
         init_rng, loss_rng = jax.random.split(rng)
@@ -41,7 +65,10 @@ def make_step_functions(
         params = jax.tree.map(
             lambda x: x.astype(param_dtype), variables["params"]
         )
-        opt_state = tx.init(params)
+        if freeze_mask is None:
+            opt_state = tx.init(params)
+        else:
+            opt_state = tx.init(_split(params)[0])
         ema_params = None
         if ema_schedule is not None and ema_schedule.has_ema():
             ema_params = jax.tree.map(lambda x: x, params)
@@ -66,11 +93,24 @@ def make_step_functions(
     def train_step(rng, state: TrainState, batch):
         observation, actions = batch
         step_rng = jax.random.fold_in(rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, step_rng, observation, actions, True
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if freeze_mask is None:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, step_rng, observation, actions, True
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+        else:
+            trainable, frozen = _split(state.params)
+
+            def loss_part(t, f, rng_, obs_, act_):
+                return loss_fn(_merge(t, f), rng_, obs_, act_, True)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_part, has_aux=True)(
+                trainable, frozen, step_rng, observation, actions
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            params = _merge(trainable, frozen)
 
         ema_params = state.ema_params
         if ema_params is not None:

@@ -143,11 +143,10 @@ def main(config: _config.TrainConfig) -> None:
         freeze_mask = freeze_mask_from_filter(_params_shape(), predicate)
         n_frozen = sum(jax.tree.leaves(freeze_mask))
         logger.info("freezing %d parameter tensors", n_frozen)
-    tx = create_optimizer(
-        config.optimizer,
-        config.lr_schedule,
-        freeze_mask=freeze_mask,
-    )
+    # Plain tx: freezing is PARTITIONED inside the step functions (frozen
+    # params are non-differentiated arguments, so their gradient buffers
+    # never exist) rather than masked-to-zero in the optimizer.
+    tx = create_optimizer(config.optimizer, config.lr_schedule)
 
     ema_schedule = None
     if config.has_ema:
@@ -165,6 +164,7 @@ def main(config: _config.TrainConfig) -> None:
         tx,
         ema_schedule=ema_schedule,
         param_dtype=jnp.dtype(config.param_dtype),
+        freeze_mask=freeze_mask,
     )
 
     state, state_sharding = init_train_state(config, steps, mesh, resuming)
