@@ -16,20 +16,34 @@ from lap_tpu.training.optimizer import AdamW, CosineDecaySchedule, create_optimi
 from lap_tpu.training.train_step import make_step_functions
 
 
-def lower_train_step_on_mesh(cfg, mesh, *, batch: int = 8, batch_arrays=None):
+def lower_train_step_on_mesh(cfg, mesh, *, batch: int = 8, batch_arrays=None, freeze_mask_fn=None):
     """Trace + lower (no execution, no weights) the full train step for
     ``cfg`` against ``mesh``; assert the tp/fsdp axes are actually used and
     GSPMD annotations reach the module. Returns the lowered computation.
 
     ``batch_arrays``: optional concrete (obs, actions) global arrays (the
     multi-process path) — defaults to abstract ShapeDtypeStructs.
+    ``freeze_mask_fn``: optional params-shape-tree -> bool-mask builder;
+    exercises the PARTITIONED freeze path (trainable-subset opt_state)
+    under the mesh shardings.
     """
     model = cfg.create_module()
     tx = create_optimizer(
         AdamW(clip_gradient_norm=1.0),
         CosineDecaySchedule(warmup_steps=10, peak_lr=1e-4, decay_steps=100),
     )
-    steps = make_step_functions(model, tx, param_dtype=jnp.bfloat16)
+    freeze_mask = None
+    if freeze_mask_fn is not None:
+        params_shape = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+            )
+        )["params"]
+        freeze_mask = freeze_mask_fn(params_shape)
+        assert any(jax.tree.leaves(freeze_mask)), "freeze mask froze nothing"
+    steps = make_step_functions(
+        model, tx, param_dtype=jnp.bfloat16, freeze_mask=freeze_mask
+    )
 
     state_shapes = jax.eval_shape(steps.init_fn, jax.random.PRNGKey(0))
     state_sharding = fsdp_sharding(state_shapes, mesh)

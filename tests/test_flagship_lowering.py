@@ -43,3 +43,22 @@ FLAGSHIPS = {
 def test_flagship_train_step_lowers_on_2x2x2_mesh(name):
     mesh = make_mesh(fsdp_devices=2, tp_devices=2)
     lower_train_step_on_mesh(FLAGSHIPS[name], mesh, batch=8)
+
+
+def test_lap3b_frozen_vlm_train_step_lowers_on_2x2x2_mesh():
+    """The PARTITIONED freeze path (frozen params as non-differentiated
+    args, trainable-subset opt_state) must lower under the 3-D mesh
+    shardings — the single-chip-fine-tune configuration at pod layouts."""
+    from lap_tpu.models.lap_model import get_vlm_freeze_filter
+    from lap_tpu.training.optimizer import freeze_mask_from_filter
+
+    cfg = FLAGSHIPS["lap3b"]
+    mesh = make_mesh(fsdp_devices=2, tp_devices=2)
+    lower_train_step_on_mesh(
+        cfg,
+        mesh,
+        batch=8,
+        freeze_mask_fn=lambda shapes: freeze_mask_from_filter(
+            shapes, get_vlm_freeze_filter(cfg)
+        ),
+    )
