@@ -74,3 +74,64 @@ def test_overfit_fixed_batch():
     # Token accuracy on the memorized reasoning must be essentially perfect.
     if "token_accuracy" in metrics:
         assert float(metrics["token_accuracy"]) > 0.95
+
+
+def test_overfit_partitioned_freeze():
+    """Partitioned freezing must still LEARN through the trainable subset
+    while frozen tensors stay BITWISE identical (catches merge/partition
+    bugs the loss curve alone would hide). Freeze the VLM+ViT; the action
+    expert must still drive the flow MSE down on a fixed batch."""
+    from lap_tpu.models.lap_model import get_vlm_freeze_filter
+    from lap_tpu.training.optimizer import freeze_mask_from_filter
+
+    cfg = TINY
+    model = cfg.create_module()
+    tx = create_optimizer(
+        AdamW(clip_gradient_norm=1.0),
+        CosineDecaySchedule(warmup_steps=10, peak_lr=2e-3, decay_steps=10_000),
+    )
+    params_shape = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+        )
+    )["params"]
+    mask = freeze_mask_from_filter(params_shape, get_vlm_freeze_filter(cfg))
+    assert any(jax.tree.leaves(mask)) and not all(jax.tree.leaves(mask))
+
+    steps = make_step_functions(model, tx, freeze_mask=mask)
+    state = jax.jit(steps.init_fn)(jax.random.PRNGKey(0))
+    frozen_before = jax.tree.map(
+        lambda p, m: np.asarray(p) if m else None, state.params, mask
+    )
+
+    rng_np = np.random.default_rng(0)
+    b = 4
+    obs = cfg.fake_obs(b)
+    obs = obs.replace(
+        tokenized_prompt=jnp.asarray(rng_np.integers(3, 100, (b, cfg.max_token_len)), jnp.int32),
+        tokenized_langact_mask=jnp.asarray(np.tile(np.arange(cfg.max_token_len) >= 8, (b, 1))),
+        token_loss_mask=jnp.ones((b, cfg.max_token_len), bool),
+    )
+    actions = jnp.asarray(rng_np.normal(size=(b, cfg.action_horizon, cfg.action_dim)), jnp.float32)
+    batch = (obs, actions)
+
+    train = jax.jit(steps.train_step, donate_argnums=(1,))
+    rng = jax.random.PRNGKey(1)
+    first, metrics = None, {}
+    for _ in range(150):
+        state, metrics = train(rng, state, batch)
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0}
+
+    # The trainable action expert still learns the fixed chunk.
+    assert float(metrics["action_loss"]) < 0.5 * first["action_loss"]
+    # Every frozen tensor is bitwise untouched by 150 optimizer steps.
+    jax.tree.map(
+        lambda before, after, m: (
+            np.testing.assert_array_equal(before, np.asarray(after)) if m else None
+        ),
+        frozen_before,
+        state.params,
+        mask,
+        is_leaf=lambda x: x is None,
+    )
