@@ -116,6 +116,18 @@ def freeze_mask_from_filter(params, path_predicate) -> dict:
     return jax.tree_util.tree_map_with_path(mark, params)
 
 
+def freeze_mask_for_model(model, path_predicate) -> dict:
+    """Freeze mask for a model's param tree (shapes only; no weights built)."""
+    import jax
+
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+        )
+    )["params"]
+    return freeze_mask_from_filter(shapes, path_predicate)
+
+
 # ---------------------------------------------------------------------------
 # EMA schedules (lihzha/lap config.py:372-504 semantics)
 # ---------------------------------------------------------------------------

@@ -39,7 +39,7 @@ from lap_tpu.training import checkpoints as _checkpoints
 from lap_tpu.training import config as _config
 from lap_tpu.training import weight_loaders as _weight_loaders
 from lap_tpu.training.metrics_logging import MetricsLogger
-from lap_tpu.training.optimizer import create_optimizer, freeze_mask_from_filter
+from lap_tpu.training.optimizer import create_optimizer
 from lap_tpu.training.train_step import make_step_functions
 
 logger = logging.getLogger("lap_tpu")
@@ -131,16 +131,11 @@ def main(config: _config.TrainConfig) -> None:
     model = config.model.create_module()
     freeze_mask = None
     from lap_tpu.models.lap_model import get_freeze_filter, get_vlm_freeze_filter
+    from lap_tpu.training.optimizer import freeze_mask_for_model
 
     predicate = get_vlm_freeze_filter(config.model) if config.freeze_vlm else get_freeze_filter(config.model)
     if predicate is not None:
-        def _params_shape():
-            m = config.model.create_module()
-            return jax.eval_shape(
-                lambda: m.init(jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=m.init_params_fn)
-            )["params"]
-
-        freeze_mask = freeze_mask_from_filter(_params_shape(), predicate)
+        freeze_mask = freeze_mask_for_model(config.model.create_module(), predicate)
         n_frozen = sum(jax.tree.leaves(freeze_mask))
         logger.info("freezing %d parameter tensors", n_frozen)
     # Plain tx: freezing is PARTITIONED inside the step functions (frozen

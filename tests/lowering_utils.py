@@ -16,16 +16,16 @@ from lap_tpu.training.optimizer import AdamW, CosineDecaySchedule, create_optimi
 from lap_tpu.training.train_step import make_step_functions
 
 
-def lower_train_step_on_mesh(cfg, mesh, *, batch: int = 8, batch_arrays=None, freeze_mask_fn=None):
+def lower_train_step_on_mesh(cfg, mesh, *, batch: int = 8, batch_arrays=None, freeze_predicate=None):
     """Trace + lower (no execution, no weights) the full train step for
     ``cfg`` against ``mesh``; assert the tp/fsdp axes are actually used and
     GSPMD annotations reach the module. Returns the lowered computation.
 
     ``batch_arrays``: optional concrete (obs, actions) global arrays (the
     multi-process path) — defaults to abstract ShapeDtypeStructs.
-    ``freeze_mask_fn``: optional params-shape-tree -> bool-mask builder;
-    exercises the PARTITIONED freeze path (trainable-subset opt_state)
-    under the mesh shardings.
+    ``freeze_predicate``: optional path->bool freeze predicate (e.g.
+    get_vlm_freeze_filter(cfg)); exercises the PARTITIONED freeze path
+    (trainable-subset opt_state) under the mesh shardings.
     """
     model = cfg.create_module()
     tx = create_optimizer(
@@ -33,14 +33,13 @@ def lower_train_step_on_mesh(cfg, mesh, *, batch: int = 8, batch_arrays=None, fr
         CosineDecaySchedule(warmup_steps=10, peak_lr=1e-4, decay_steps=100),
     )
     freeze_mask = None
-    if freeze_mask_fn is not None:
-        params_shape = jax.eval_shape(
-            lambda: model.init(
-                jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
-            )
-        )["params"]
-        freeze_mask = freeze_mask_fn(params_shape)
-        assert any(jax.tree.leaves(freeze_mask)), "freeze mask froze nothing"
+    if freeze_predicate is not None:
+        from lap_tpu.training.optimizer import freeze_mask_for_model
+
+        freeze_mask = freeze_mask_for_model(model, freeze_predicate)
+        leaves = jax.tree.leaves(freeze_mask)
+        assert any(leaves), "freeze mask froze nothing"
+        assert not all(leaves), "freeze mask froze EVERYTHING (no-op train step)"
     steps = make_step_functions(
         model, tx, param_dtype=jnp.bfloat16, freeze_mask=freeze_mask
     )

@@ -50,15 +50,9 @@ def test_lap3b_frozen_vlm_train_step_lowers_on_2x2x2_mesh():
     args, trainable-subset opt_state) must lower under the 3-D mesh
     shardings — the single-chip-fine-tune configuration at pod layouts."""
     from lap_tpu.models.lap_model import get_vlm_freeze_filter
-    from lap_tpu.training.optimizer import freeze_mask_from_filter
 
     cfg = FLAGSHIPS["lap3b"]
     mesh = make_mesh(fsdp_devices=2, tp_devices=2)
     lower_train_step_on_mesh(
-        cfg,
-        mesh,
-        batch=8,
-        freeze_mask_fn=lambda shapes: freeze_mask_from_filter(
-            shapes, get_vlm_freeze_filter(cfg)
-        ),
+        cfg, mesh, batch=8, freeze_predicate=get_vlm_freeze_filter(cfg)
     )

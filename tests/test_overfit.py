@@ -30,18 +30,15 @@ TINY = LAPConfig(
 )
 
 
-def test_overfit_fixed_batch():
-    cfg = TINY
-    model = cfg.create_module()
-    tx = create_optimizer(
+def _make_tx():
+    return create_optimizer(
         AdamW(clip_gradient_norm=1.0),
         CosineDecaySchedule(warmup_steps=10, peak_lr=2e-3, decay_steps=10_000),
     )
-    steps = make_step_functions(model, tx)
-    state = jax.jit(steps.init_fn)(jax.random.PRNGKey(0))
 
+
+def _fixed_batch(cfg, b=4):
     rng_np = np.random.default_rng(0)
-    b = 4
     obs = cfg.fake_obs(b)
     obs = obs.replace(
         tokenized_prompt=jnp.asarray(rng_np.integers(3, 100, (b, cfg.max_token_len)), jnp.int32),
@@ -49,7 +46,15 @@ def test_overfit_fixed_batch():
         token_loss_mask=jnp.ones((b, cfg.max_token_len), bool),
     )
     actions = jnp.asarray(rng_np.normal(size=(b, cfg.action_horizon, cfg.action_dim)), jnp.float32)
-    batch = (obs, actions)
+    return (obs, actions)
+
+
+def test_overfit_fixed_batch():
+    cfg = TINY
+    model = cfg.create_module()
+    steps = make_step_functions(model, _make_tx())
+    state = jax.jit(steps.init_fn)(jax.random.PRNGKey(0))
+    batch = _fixed_batch(cfg)
 
     train = jax.jit(steps.train_step, donate_argnums=(1,))
     # Fixed rng: the flow-matching (noise, t) draw still varies per step via
@@ -82,38 +87,19 @@ def test_overfit_partitioned_freeze():
     bugs the loss curve alone would hide). Freeze the VLM+ViT; the action
     expert must still drive the flow MSE down on a fixed batch."""
     from lap_tpu.models.lap_model import get_vlm_freeze_filter
-    from lap_tpu.training.optimizer import freeze_mask_from_filter
+    from lap_tpu.training.optimizer import freeze_mask_for_model
 
     cfg = TINY
     model = cfg.create_module()
-    tx = create_optimizer(
-        AdamW(clip_gradient_norm=1.0),
-        CosineDecaySchedule(warmup_steps=10, peak_lr=2e-3, decay_steps=10_000),
-    )
-    params_shape = jax.eval_shape(
-        lambda: model.init(
-            jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
-        )
-    )["params"]
-    mask = freeze_mask_from_filter(params_shape, get_vlm_freeze_filter(cfg))
+    mask = freeze_mask_for_model(model, get_vlm_freeze_filter(cfg))
     assert any(jax.tree.leaves(mask)) and not all(jax.tree.leaves(mask))
 
-    steps = make_step_functions(model, tx, freeze_mask=mask)
+    steps = make_step_functions(model, _make_tx(), freeze_mask=mask)
     state = jax.jit(steps.init_fn)(jax.random.PRNGKey(0))
     frozen_before = jax.tree.map(
         lambda p, m: np.asarray(p) if m else None, state.params, mask
     )
-
-    rng_np = np.random.default_rng(0)
-    b = 4
-    obs = cfg.fake_obs(b)
-    obs = obs.replace(
-        tokenized_prompt=jnp.asarray(rng_np.integers(3, 100, (b, cfg.max_token_len)), jnp.int32),
-        tokenized_langact_mask=jnp.asarray(np.tile(np.arange(cfg.max_token_len) >= 8, (b, 1))),
-        token_loss_mask=jnp.ones((b, cfg.max_token_len), bool),
-    )
-    actions = jnp.asarray(rng_np.normal(size=(b, cfg.action_horizon, cfg.action_dim)), jnp.float32)
-    batch = (obs, actions)
+    batch = _fixed_batch(cfg)
 
     train = jax.jit(steps.train_step, donate_argnums=(1,))
     rng = jax.random.PRNGKey(1)
