@@ -121,3 +121,66 @@ def test_overfit_partitioned_freeze():
         mask,
         is_leaf=lambda x: x is None,
     )
+
+
+def test_overfit_lora_partitioned_freeze():
+    """LoRA fine-tuning through the partitioned-freeze path (reference
+    lap_config.py:132-189 `paligemma_variant="*_lora"`): the frozen base
+    llm weights stay BITWISE identical while gradient still flows through
+    the low-rank residuals. With pali-LoRA only, the `_1` action expert
+    is fully trainable, so the flow MSE must drop hard; the language CE
+    has NO trainable full-rank tensor on its path (embedder + VLM base
+    all frozen), so any decrease at all is proof the rank-4 adapters
+    carry signal — asserting a large CE collapse would test adapter
+    capacity, not the freeze partition."""
+    import dataclasses
+
+    from lap_tpu.models.lap_model import get_freeze_filter
+    from lap_tpu.training.optimizer import freeze_mask_for_model
+
+    cfg = dataclasses.replace(TINY, paligemma_variant="dummy_lora")
+    model = cfg.create_module()
+    predicate = get_freeze_filter(cfg)
+    assert predicate is not None
+    mask = freeze_mask_for_model(model, predicate)
+    leaves = jax.tree.leaves(mask)
+    assert any(leaves) and not all(leaves)
+
+    # LoRA fine-tunes run hotter than full pre-train (lora_b starts at 0).
+    tx = create_optimizer(
+        AdamW(clip_gradient_norm=1.0),
+        CosineDecaySchedule(warmup_steps=10, peak_lr=1e-2, decay_steps=10_000),
+    )
+    steps = make_step_functions(model, tx, freeze_mask=mask)
+    state = jax.jit(steps.init_fn)(jax.random.PRNGKey(0))
+    frozen_before = jax.tree.map(
+        lambda p, m: np.asarray(p) if m else None, state.params, mask
+    )
+    batch = _fixed_batch(cfg)
+
+    train = jax.jit(steps.train_step, donate_argnums=(1,))
+    rng = jax.random.PRNGKey(1)
+    first, metrics = None, {}
+    for _ in range(150):
+        state, metrics = train(rng, state, batch)
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0}
+
+    # The fully-trainable action expert still learns the fixed chunk.
+    assert float(metrics["action_loss"]) < 0.5 * first["action_loss"], (
+        first["action_loss"], float(metrics["action_loss"]))
+    # Language CE decreases measurably through the LoRA residuals alone
+    # (every full-rank tensor on the CE path is frozen; measured drop at
+    # this shape is ~0.45 nats over 150 steps).
+    assert float(metrics["lang_loss"]) < first["lang_loss"] - 0.25, (
+        first["lang_loss"], float(metrics["lang_loss"]))
+    # Base llm weights bitwise untouched.
+    jax.tree.map(
+        lambda before, after, m: (
+            np.testing.assert_array_equal(before, np.asarray(after)) if m else None
+        ),
+        frozen_before,
+        state.params,
+        mask,
+        is_leaf=lambda x: x is None,
+    )
