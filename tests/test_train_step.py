@@ -83,6 +83,80 @@ def test_fsdp_train_step_loss_decreases():
     assert any("fsdp" in str(s) for s in specs)
 
 
+def test_gemma3_sharded_train_step_executes_and_learns():
+    """The Gemma3 model family must EXECUTE sharded (not just lower): a
+    LAPGemma3 train step on the 3-D (dp=2, fsdp=2, tp=2) mesh, loss
+    decreasing. Closes the lowered-but-never-executed corner: the LAP
+    (gemma) family runs sharded in test_fsdp_train_step_loss_decreases
+    and the dryrun; this is the Gemma3 analogue (sliding-window masks,
+    dual RoPE, QK-norm under GSPMD partitioning)."""
+    cfg = LAPConfig(
+        dtype="float32",
+        paligemma_variant="gemma3_dummy",
+        action_expert_variant="gemma3_dummy",
+        siglip_variant="dummy",
+        action_dim=7,
+        action_horizon=4,
+        max_token_len=80,
+        image_resolution=(56, 56),
+        enable_action_training=True,
+        enable_langact_training=True,
+    )
+    from lap_tpu.models.tokenizer import GEMMA3_IMAGE_TOKEN
+
+    mesh = make_mesh(fsdp_devices=2, tp_devices=2)
+    model = cfg.create_module()
+    tx = create_optimizer(
+        AdamW(clip_gradient_norm=1.0),
+        CosineDecaySchedule(warmup_steps=2, peak_lr=1e-3, decay_steps=50),
+    )
+    steps = make_step_functions(model, tx)
+
+    shapes = jax.eval_shape(steps.init_fn, jax.random.PRNGKey(0))
+    state_sharding = fsdp_sharding(shapes, mesh, min_size_bytes=1024)
+    init = jax.jit(steps.init_fn, out_shardings=state_sharding)
+    with set_mesh(mesh):
+        state = init(jax.random.PRNGKey(0))
+
+    # Gemma3 prompts embed image-placeholder runs (dummy siglip on 56x56
+    # -> 4x4 = 16 tokens/cam, 2 cams), mirroring the real tokenization.
+    b = 8
+    rng_np = np.random.default_rng(0)
+    obs = cfg.fake_obs(b)
+    tok = rng_np.integers(5, 100, (b, cfg.max_token_len)).astype(np.int32)
+    tok[:, 0] = 2
+    tok[:, 4:20] = GEMMA3_IMAGE_TOKEN
+    tok[:, 24:40] = GEMMA3_IMAGE_TOKEN
+    langact = np.zeros((b, cfg.max_token_len), bool)
+    langact[:, 60:] = True
+    obs = obs.replace(
+        tokenized_prompt=jnp.asarray(tok),
+        tokenized_langact_mask=jnp.asarray(langact),
+        token_loss_mask=jnp.ones((b, cfg.max_token_len), bool),
+    )
+    actions = jnp.asarray(
+        rng_np.normal(size=(b, cfg.action_horizon, cfg.action_dim)), jnp.float32
+    )
+    batch = jax.device_put((obs, actions), data_sharding(mesh))
+
+    train = jax.jit(
+        steps.train_step,
+        in_shardings=(replicated(mesh), state_sharding, data_sharding(mesh)),
+        out_shardings=(state_sharding, replicated(mesh)),
+        donate_argnums=(1,),
+    )
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    with set_mesh(mesh):
+        for _ in range(6):
+            state, metrics = train(rng, state, batch)
+            losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    specs = jax.tree.leaves(jax.tree.map(lambda x: x.sharding.spec, state.params))
+    assert any("fsdp" in str(s) for s in specs)
+
+
 def test_val_step_uses_ema():
     cfg = TINY
     model = cfg.create_module()
