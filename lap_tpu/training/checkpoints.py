@@ -90,10 +90,13 @@ class CheckpointManager:
 
         from lap_tpu.training.array_utils import sync_global_devices
 
-        inference_params = state.ema_params if state.ema_params is not None else state.params
+        from lap_tpu.training.state import inference_params
+
+        # Merged EMA view (partitioned EMA holds only trainable leaves).
+        infer_params = inference_params(state)
         args = ocp.args.Composite(
             train_state=ocp.args.PyTreeSave(_state_dict(_as_saveable(state))),
-            params=ocp.args.PyTreeSave({"params": inference_params}),
+            params=ocp.args.PyTreeSave({"params": infer_params}),
             assets=ocp.args.JsonSave(assets or {}),
         )
         sync_global_devices(f"checkpoint_save_start_{step}")

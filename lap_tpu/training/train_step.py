@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from lap_tpu.training.optimizer import EmaSchedule
-from lap_tpu.training.state import TrainState
+from lap_tpu.training.state import TrainState, inference_params
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,7 +71,15 @@ def make_step_functions(
             opt_state = tx.init(_split(params)[0])
         ema_params = None
         if ema_schedule is not None and ema_schedule.has_ema():
-            ema_params = jax.tree.map(lambda x: x, params)
+            # Partitioned freezing extends to EMA: frozen params never
+            # change, so their EMA is themselves — buffer only the
+            # trainable leaves (None elsewhere; inference_params() merges
+            # the gaps back from params). At LAP-3B frozen-VLM shape this
+            # drops ~11 GB of dead EMA copies.
+            if freeze_mask is None:
+                ema_params = jax.tree.map(lambda x: x, params)
+            else:
+                ema_params = _split(params)[0]
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -116,9 +124,12 @@ def make_step_functions(
         if ema_params is not None:
             decay, enabled = ema_schedule.get_decay_for_step(state.step)
             ema_params = jax.tree.map(
-                lambda e, p: jnp.where(enabled, decay * e + (1 - decay) * p, p),
+                lambda e, p: None
+                if e is None
+                else jnp.where(enabled, decay * e + (1 - decay) * p, p),
                 ema_params,
                 params,
+                is_leaf=lambda x: x is None,
             )
 
         new_state = TrainState(
@@ -135,7 +146,7 @@ def make_step_functions(
 
     def val_step(rng, state: TrainState, batch):
         observation, actions = batch
-        params = state.ema_params if state.ema_params is not None else state.params
+        params = inference_params(state)
         loss, metrics = loss_fn(params, rng, observation, actions, False)
         metrics = dict(metrics)
         metrics["loss"] = loss

@@ -88,7 +88,17 @@ def init_train_state(config, steps, mesh, resuming: bool):
         params = jax.tree.map(place, loaded, state.params, params_sharding)
         state = dataclasses.replace(state, params=params)
         if state.ema_params is not None:
-            state = dataclasses.replace(state, ema_params=params)
+            # Re-seed EMA from the merged weights, preserving the partial
+            # structure (None leaves = frozen params, partitioned EMA).
+            state = dataclasses.replace(
+                state,
+                ema_params=jax.tree.map(
+                    lambda e, p: None if e is None else p,
+                    state.ema_params,
+                    params,
+                    is_leaf=lambda x: x is None,
+                ),
+            )
         logger.info("merged pretrained weights from %s", config.weight_loader)
     return state, state_sharding
 

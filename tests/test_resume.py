@@ -119,6 +119,42 @@ def test_checkpoint_assets_ride_async_save(tmp_path):
     np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(4.0))
 
 
+def test_partitioned_ema_checkpoint_roundtrip(tmp_path):
+    """Save/restore a TrainState whose EMA tree is PARTIAL (None leaves =
+    frozen params, partitioned EMA): the ``params`` item must carry the
+    MERGED inference view (frozen values filled from params), and restore
+    must reproduce the partial EMA structure exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from lap_tpu.training.checkpoints import CheckpointManager, restore_params
+    from lap_tpu.training.state import TrainState, inference_params
+
+    state = TrainState(
+        step=jnp.asarray(7),
+        params={"frozen": jnp.full(4, 2.0), "hot": jnp.full(4, 5.0)},
+        opt_state={"m": jnp.zeros(4)},
+        ema_params={"frozen": None, "hot": jnp.full(4, 4.5)},
+    )
+    mgr = CheckpointManager(tmp_path / "ck")
+    mgr.save(7, state)
+    mgr.wait_until_finished()
+
+    # Inference weights: EMA where trainable, raw params where frozen.
+    saved = restore_params(tmp_path / "ck" / "7" / "params")
+    np.testing.assert_allclose(np.asarray(saved["frozen"]), 2.0)
+    np.testing.assert_allclose(np.asarray(saved["hot"]), 4.5)
+
+    template = jax.tree.map(lambda x: jnp.zeros_like(x), state)
+    restored = mgr.restore(None, template)
+    assert int(restored.step) == 7
+    assert restored.ema_params["frozen"] is None
+    np.testing.assert_allclose(np.asarray(restored.ema_params["hot"]), 4.5)
+    merged = inference_params(restored)
+    np.testing.assert_allclose(np.asarray(merged["frozen"]), 2.0)
+    np.testing.assert_allclose(np.asarray(merged["hot"]), 4.5)
+
+
 def test_interrupted_save_leaves_loadable_latest(tmp_path):
     """A killed-mid-save step (orbax tmp dir) must not shadow the last good one."""
     from lap_tpu.training.checkpoints import CheckpointManager

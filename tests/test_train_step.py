@@ -157,6 +157,70 @@ def test_gemma3_sharded_train_step_executes_and_learns():
     assert any("fsdp" in str(s) for s in specs)
 
 
+def test_partitioned_ema_buffers_only_trainable():
+    """Freeze + EMA: the EMA tree must hold ONLY trainable leaves (None
+    where frozen — EMA of a never-updated param is the param), the EMA
+    must track the trainable weights, and the inference view must merge
+    frozen params back in (they ride checkpoints/val through
+    inference_params, not a dead full-tree EMA copy)."""
+    from lap_tpu.models.lap_model import get_vlm_freeze_filter
+    from lap_tpu.training.optimizer import freeze_mask_for_model
+    from lap_tpu.training.state import inference_params
+
+    cfg = TINY
+    model = cfg.create_module()
+    mask = freeze_mask_for_model(model, get_vlm_freeze_filter(cfg))
+    tx = create_optimizer(
+        AdamW(clip_gradient_norm=1.0),
+        CosineDecaySchedule(warmup_steps=2, peak_lr=1e-3, decay_steps=50),
+    )
+    ema = EmaSchedule(stages=(EmaStage(0, None, 0.9),))
+    steps = make_step_functions(model, tx, ema_schedule=ema, freeze_mask=mask)
+    state = jax.jit(steps.init_fn)(jax.random.PRNGKey(0))
+
+    # EMA leaves exist exactly where the mask says trainable.
+    flat_mask = jax.tree_util.tree_flatten_with_path(mask)[0]
+    flat_ema = dict(
+        jax.tree_util.tree_flatten_with_path(
+            state.ema_params, is_leaf=lambda x: x is None
+        )[0]
+    )
+    n_none = 0
+    for path, frozen in flat_mask:
+        if frozen:
+            assert flat_ema[path] is None, f"frozen {path} has an EMA buffer"
+            n_none += 1
+        else:
+            assert flat_ema[path] is not None
+    assert n_none > 0
+
+    batch = _batch(cfg, 4)
+    train = jax.jit(steps.train_step, donate_argnums=(1,))
+    rng = jax.random.PRNGKey(1)
+    for _ in range(4):
+        state, _ = train(rng, state, batch)
+
+    # The merged inference view: frozen leaves ARE the (untouched) params,
+    # trainable leaves are the EMA smoothing — and val_step accepts it.
+    infer = inference_params(state)
+    assert jax.tree.structure(infer) == jax.tree.structure(state.params)
+    flat_params = dict(jax.tree_util.tree_flatten_with_path(state.params)[0])
+    flat_infer = dict(jax.tree_util.tree_flatten_with_path(infer)[0])
+    saw_diff = False
+    for path, frozen in flat_mask:
+        if frozen:
+            np.testing.assert_array_equal(
+                np.asarray(flat_infer[path]), np.asarray(flat_params[path])
+            )
+        elif not np.array_equal(
+            np.asarray(flat_infer[path]), np.asarray(flat_params[path])
+        ):
+            saw_diff = True  # EMA lags the live weights somewhere
+    assert saw_diff, "EMA identical to params everywhere — not smoothing?"
+    metrics = jax.jit(steps.val_step)(jax.random.PRNGKey(2), state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_val_step_uses_ema():
     cfg = TINY
     model = cfg.create_module()
