@@ -16,7 +16,9 @@ from lap_tpu.training.optimizer import AdamW, CosineDecaySchedule, create_optimi
 from lap_tpu.training.train_step import make_step_functions
 
 
-def lower_train_step_on_mesh(cfg, mesh, *, batch: int = 8, batch_arrays=None, freeze_predicate=None):
+def lower_train_step_on_mesh(
+    cfg, mesh, *, batch: int = 8, batch_arrays=None, freeze_predicate=None, ema=False
+):
     """Trace + lower (no execution, no weights) the full train step for
     ``cfg`` against ``mesh``; assert the tp/fsdp axes are actually used and
     GSPMD annotations reach the module. Returns the lowered computation.
@@ -40,8 +42,17 @@ def lower_train_step_on_mesh(cfg, mesh, *, batch: int = 8, batch_arrays=None, fr
         leaves = jax.tree.leaves(freeze_mask)
         assert any(leaves), "freeze mask froze nothing"
         assert not all(leaves), "freeze mask froze EVERYTHING (no-op train step)"
+    ema_schedule = None
+    if ema:
+        from lap_tpu.training.optimizer import EmaSchedule, EmaStage
+
+        ema_schedule = EmaSchedule(stages=(EmaStage(0, None, 0.999),))
     steps = make_step_functions(
-        model, tx, param_dtype=jnp.bfloat16, freeze_mask=freeze_mask
+        model,
+        tx,
+        param_dtype=jnp.bfloat16,
+        freeze_mask=freeze_mask,
+        ema_schedule=ema_schedule,
     )
 
     state_shapes = jax.eval_shape(steps.init_fn, jax.random.PRNGKey(0))

@@ -53,6 +53,8 @@ def test_lap3b_frozen_vlm_train_step_lowers_on_2x2x2_mesh():
 
     cfg = FLAGSHIPS["lap3b"]
     mesh = make_mesh(fsdp_devices=2, tp_devices=2)
+    # ema=True: partitioned EMA (None leaves for frozen params) must also
+    # survive fsdp_sharding and the jit in/out sharding trees at this shape.
     lower_train_step_on_mesh(
-        cfg, mesh, batch=8, freeze_predicate=get_vlm_freeze_filter(cfg)
+        cfg, mesh, batch=8, freeze_predicate=get_vlm_freeze_filter(cfg), ema=True
     )
