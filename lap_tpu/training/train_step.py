@@ -77,7 +77,7 @@ def make_step_functions(
             # the gaps back from params). At LAP-3B frozen-VLM shape this
             # drops ~11 GB of dead EMA copies.
             if freeze_mask is None:
-                ema_params = jax.tree.map(lambda x: x, params)
+                ema_params = params  # immutable jax arrays: aliasing is fine
             else:
                 ema_params = _split(params)[0]
         return TrainState(
@@ -123,10 +123,15 @@ def make_step_functions(
         ema_params = state.ema_params
         if ema_params is not None:
             decay, enabled = ema_schedule.get_decay_for_step(state.step)
+            # .astype(e.dtype): the f32 decay scalar would otherwise promote
+            # bf16 EMA buffers to f32 (aval change -> full recompile at step
+            # 2, 2x EMA memory, mixed-dtype checkpoint params).
             ema_params = jax.tree.map(
                 lambda e, p: None
                 if e is None
-                else jnp.where(enabled, decay * e + (1 - decay) * p, p),
+                else jnp.where(enabled, decay * e + (1 - decay) * p, p).astype(
+                    e.dtype
+                ),
                 ema_params,
                 params,
                 is_leaf=lambda x: x is None,

@@ -175,7 +175,11 @@ def test_partitioned_ema_buffers_only_trainable():
         CosineDecaySchedule(warmup_steps=2, peak_lr=1e-3, decay_steps=50),
     )
     ema = EmaSchedule(stages=(EmaStage(0, None, 0.9),))
-    steps = make_step_functions(model, tx, ema_schedule=ema, freeze_mask=mask)
+    # bf16 params: the EMA update must NOT promote buffers to f32 (that
+    # would change avals -> full recompile at step 2 and double EMA memory).
+    steps = make_step_functions(
+        model, tx, ema_schedule=ema, freeze_mask=mask, param_dtype=jnp.bfloat16
+    )
     state = jax.jit(steps.init_fn)(jax.random.PRNGKey(0))
 
     # EMA leaves exist exactly where the mask says trainable.
@@ -199,6 +203,10 @@ def test_partitioned_ema_buffers_only_trainable():
     rng = jax.random.PRNGKey(1)
     for _ in range(4):
         state, _ = train(rng, state, batch)
+
+    # Dtype stability: every EMA buffer still bf16 after updates.
+    for leaf in jax.tree.leaves(state.ema_params):
+        assert leaf.dtype == jnp.bfloat16, leaf.dtype
 
     # The merged inference view: frozen leaves ARE the (untouched) params,
     # trainable leaves are the EMA smoothing — and val_step accepts it.
