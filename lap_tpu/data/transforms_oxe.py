@@ -26,6 +26,7 @@ from lap_tpu.data.registry import register_dataset
 from lap_tpu.data.transform_helpers import (
     binarize_gripper_actions,
     compute_padded_movement_actions,
+    fill_empty_instructions,
     invert_gripper_actions,
     rel2abs_gripper_actions,
 )
@@ -541,7 +542,9 @@ def stanford_hydra_dataset_transform(episode: dict) -> dict:
     )
 
 
-def _matrix_state_transform(episode: dict, *, gripper_scale: float = 0.079) -> dict:
+def _matrix_state_transform(
+    episode: dict, *, gripper_scale: float = 0.079, fill_empty_lang: bool = False
+) -> dict:
     """Austin-style datasets: state carries a flattened 4x4 EEF matrix in the
     last 16 dims and gripper joint at index 7."""
     steps = _steps(episode)
@@ -553,6 +556,12 @@ def _matrix_state_transform(episode: dict, *, gripper_scale: float = 0.079) -> d
     grip_state = np.clip(state[:, 7:8] / gripper_scale, 0, 1)
     action = np.asarray(steps["action"], np.float32)
     grip = invert_gripper_actions(np.clip(action[:, -1:], 0, 1))
+    instructions = _instructions(steps)
+    if fill_empty_lang:
+        # ref transform_helpers.py:318: hash over the REBUILT 7-dim state.
+        instructions = fill_empty_instructions(
+            instructions, np.concatenate([eef, grip_state], axis=-1)[0]
+        )
     return _canonical(
         base_imgs=obs.get("image"),
         wrist_imgs=obs.get("wrist_image"),
@@ -560,22 +569,26 @@ def _matrix_state_transform(episode: dict, *, gripper_scale: float = 0.079) -> d
         gripper_state=grip_state,
         action=np.concatenate([eef, grip], axis=-1),
         gripper_action=grip,
-        instructions=_instructions(steps),
+        instructions=instructions,
     )
 
 
 @register_dataset("austin_buds", exact=False, control_frequency=20.0)
+def austin_buds_dataset_transform(episode: dict) -> dict:
+    # ref transforms.py:716-729: buds fills empty language deterministically.
+    return _matrix_state_transform(episode, fill_empty_lang=True)
+
+
 @register_dataset("utaustin_mutex", exact=False, control_frequency=20.0)
 def austin_dataset_transform(episode: dict) -> dict:
     return _matrix_state_transform(episode)
 
 
-@register_dataset("austin_sailor", exact=False, control_frequency=20.0)
-@register_dataset("austin_sirius", exact=False, control_frequency=20.0)
-def austin_sailor_sirius_dataset_transform(episode: dict) -> dict:
+def _sailor_sirius_transform(episode: dict, *, deterministic_fallback: bool) -> dict:
     """reference transforms.py:869-926: the EEF matrix comes from the
     dedicated ``state_ee`` key (NOT the tail of ``state`` as in buds/mutex)
-    and the gripper joint is the LAST column of ``state``."""
+    and the gripper joint is the LAST column of ``state``. Both fill empty
+    language instructions (sailor deterministically, sirius randomly)."""
     steps = _steps(episode)
     obs = steps["observation"]
     state = np.asarray(obs["state"], np.float32)
@@ -585,6 +598,11 @@ def austin_sailor_sirius_dataset_transform(episode: dict) -> dict:
     grip_state = np.clip(state[:, -1:] / 0.079, 0, 1)
     action = np.asarray(steps["action"], np.float32)
     grip = invert_gripper_actions(np.clip(action[:, -1:], 0, 1))
+    instructions = fill_empty_instructions(
+        _instructions(steps),
+        np.concatenate([eef, grip_state], axis=-1)[0],
+        deterministic=deterministic_fallback,
+    )
     return _canonical(
         base_imgs=obs.get("image"),
         wrist_imgs=obs.get("wrist_image"),
@@ -592,8 +610,18 @@ def austin_sailor_sirius_dataset_transform(episode: dict) -> dict:
         gripper_state=grip_state,
         action=np.concatenate([eef, grip], axis=-1),
         gripper_action=grip,
-        instructions=_instructions(steps),
+        instructions=instructions,
     )
+
+
+@register_dataset("austin_sailor", exact=False, control_frequency=20.0)
+def austin_sailor_dataset_transform(episode: dict) -> dict:
+    return _sailor_sirius_transform(episode, deterministic_fallback=True)
+
+
+@register_dataset("austin_sirius", exact=False, control_frequency=20.0)
+def austin_sirius_dataset_transform(episode: dict) -> dict:
+    return _sailor_sirius_transform(episode, deterministic_fallback=False)
 
 
 @register_dataset("furniture_bench", exact=False, control_frequency=10.0)

@@ -1632,6 +1632,105 @@ def gen_transform_coverage_map():
     print(f"ref_transform_map.json: {len(cov)} keys, {len(set(cov.values()))} distinct fns")
 
 
+def gen_lang_fill_suite():
+    """Empty-language-instruction fallback (ref transform_helpers.py:89-125,
+    constants.py:8-33): austin_buds + austin_sailor pick a DETERMINISTIC
+    fallback — Fingerprint64(as_string(sum(state[0]))) mod 18 — over the
+    REBUILT 7-dim state, and broadcast the selected instruction (original
+    or fallback) to every step. austin_sirius draws randomly (not pinnable);
+    its golden only records that the result is a member of the table."""
+    rng = np.random.default_rng(77)
+    t = 6
+    out = {}
+
+    def _bud_traj(instr0):
+        astate = np.zeros((t, 24), np.float32)
+        astate[:, :8] = rng.normal(size=(t, 8))
+        astate[:, 7] = rng.uniform(0, 0.079, size=t)
+        quat = rng.normal(size=(t, 4))
+        quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+        mats = np.zeros((t, 4, 4), np.float64)
+        w, x, y, z = quat.T
+        mats[:, 0, 0] = 1 - 2 * (y * y + z * z)
+        mats[:, 0, 1] = 2 * (x * y - z * w)
+        mats[:, 0, 2] = 2 * (x * z + y * w)
+        mats[:, 1, 0] = 2 * (x * y + z * w)
+        mats[:, 1, 1] = 1 - 2 * (x * x + z * z)
+        mats[:, 1, 2] = 2 * (y * z - x * w)
+        mats[:, 2, 0] = 2 * (x * z - y * w)
+        mats[:, 2, 1] = 2 * (y * z + x * w)
+        mats[:, 2, 2] = 1 - 2 * (x * x + y * y)
+        mats[:, :3, 3] = rng.normal(size=(t, 3)) * 0.4
+        mats[:, 3, 3] = 1.0
+        astate[:, -16:] = mats.transpose(0, 2, 1).reshape(t, 16).astype(np.float32)
+        instrs = [instr0] + [f"step {i}" for i in range(1, t)]
+        return {
+            "observation": {"state": tf.constant(astate)},
+            "action": tf.constant(rng.uniform(-1, 1, size=(t, 8)).astype(np.float32)),
+            "language_instruction": tf.constant(instrs),
+        }, astate
+
+    # Several episodes to land in different hash buckets; plus whitespace
+    # and non-empty (broadcast-only) probes.
+    for i, instr0 in enumerate(["", "", "", "  \t ", "wipe the table"]):
+        traj, astate = _bud_traj(instr0)
+        res = TR.austin_buds_dataset_transform(traj)
+        out[f"buds{i}{SEP}in{SEP}state"] = astate
+        out[f"buds{i}{SEP}in{SEP}action"] = _np(traj["action"])
+        out[f"buds{i}{SEP}in{SEP}instr0"] = np.asarray(instr0.encode())
+        out[f"buds{i}{SEP}out{SEP}instr"] = _np(res["language_instruction"]).astype("S")
+
+    def _se3(n):
+        import math
+
+        flats = np.zeros((n, 16), np.float32)
+        eul = rng.uniform(-np.pi, np.pi, size=(n, 3))
+        pos = rng.normal(size=(n, 3)) * 0.4
+        for i in range(n):
+            a, b, c = eul[i]
+            Rx = np.array([[1, 0, 0], [0, math.cos(a), -math.sin(a)], [0, math.sin(a), math.cos(a)]])
+            Ry = np.array([[math.cos(b), 0, math.sin(b)], [0, 1, 0], [-math.sin(b), 0, math.cos(b)]])
+            Rz = np.array([[math.cos(c), -math.sin(c), 0], [math.sin(c), math.cos(c), 0], [0, 0, 1]])
+            M = np.eye(4)
+            M[:3, :3] = Rz @ Ry @ Rx
+            M[:3, 3] = pos[i]
+            flats[i] = M.T.flatten().astype(np.float32)
+        return flats
+
+    def _sail_traj(instr0):
+        st8 = rng.normal(size=(t, 8)).astype(np.float32)
+        st8[:, -1] = rng.uniform(0, 0.09, size=t)
+        sact = rng.normal(size=(t, 7)).astype(np.float32)
+        instrs = [instr0] + [f"step {i}" for i in range(1, t)]
+        return {
+            "observation": {"state": tf.constant(st8), "state_ee": tf.constant(_se3(t))},
+            "action": tf.constant(sact),
+            "language_instruction": tf.constant(instrs),
+        }, st8
+
+    for i, instr0 in enumerate(["", "", "hold the mug"]):
+        traj, st8 = _sail_traj(instr0)
+        res = TR.austin_sailor_dataset_transform(traj)
+        out[f"sailor{i}{SEP}in{SEP}state"] = st8
+        out[f"sailor{i}{SEP}in{SEP}state_ee"] = _np(traj["observation"]["state_ee"])
+        out[f"sailor{i}{SEP}in{SEP}action"] = _np(traj["action"])
+        out[f"sailor{i}{SEP}in{SEP}instr0"] = np.asarray(instr0.encode())
+        out[f"sailor{i}{SEP}out{SEP}instr"] = _np(res["language_instruction"]).astype("S")
+
+    # sirius: random fallback — pin MEMBERSHIP in the 18-string table.
+    traj, _ = _sail_traj("")
+    res = TR.austin_sirius_dataset_transform(traj)
+    got = _np(res["language_instruction"])[0]
+    from lap.datasets.utils.constants import FALLBACK_INSTRUCTIONS as _FB
+
+    table = [s.decode() for s in _np(_FB)]
+    assert got.decode() in table, got
+    out[f"fallback_table"] = np.asarray([s.encode() for s in table])
+
+    np.savez(OUT / "lang_fill.npz", **out)
+    print(f"lang_fill.npz: {len(out)} arrays")
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     sum_actions = _extract_base_dataset_fns()
@@ -1642,6 +1741,7 @@ def main():
     gen_langact_suite(sum_actions)
     gen_dataset_suite()
     gen_dataset_suite_r4()
+    gen_lang_fill_suite()
     gen_chunk_suite()
     gen_transform_coverage_map()
     gen_image_suite()

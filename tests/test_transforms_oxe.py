@@ -474,3 +474,41 @@ def test_transform_count_meets_reference():
     for key in REFERENCE_REGISTRY_KEYS:
         fns.add(get_dataset_config(key).standardize_fn.__name__)
     assert len(fns) >= 40, sorted(fns)
+
+
+def test_farmhash_fingerprint64_known_vectors():
+    """Pin the from-spec FarmHash Fingerprint64 against values produced by
+    tf.strings.to_hash_bucket_fast (verified on 5000 fuzz cases vs TF when
+    the goldens were generated); guards the pure-Python port without needing
+    TF at test time."""
+    from lap_tpu.data.transform_helpers import farmhash_fingerprint64 as fh
+
+    assert fh(b"hello") % 1000 == 296
+    assert fh(b"13.725610") % 18 == 12
+    assert fh(b"-0.500000") % 18 == 11
+    assert fh(b"0.000000") % 18 == 13
+    assert fh(b"123456.781250") % 18 == 12
+    assert fh(b"") == 0x9AE16A3B2F90404F  # k2: the empty-string fingerprint
+
+
+def test_fill_empty_instructions_semantics():
+    from lap_tpu.data.transform_helpers import (
+        FALLBACK_INSTRUCTIONS,
+        fill_empty_instructions,
+    )
+
+    state = np.array([0.5, -1.0, 2.0], np.float32)
+    # Non-empty first instruction: broadcast, never replaced.
+    out = fill_empty_instructions(["do x", "do y", "do z"], state)
+    assert out == ["do x"] * 3
+    # Empty / whitespace first instruction: deterministic fallback.
+    a = fill_empty_instructions(["", "do y"], state)
+    b = fill_empty_instructions(["  \t ", "do y"], state)
+    assert a == b and a[0] in FALLBACK_INSTRUCTIONS and len(a) == 2
+    # Different state -> (generally) different bucket; always from the table.
+    c = fill_empty_instructions([""], state + 3.0)
+    assert c[0] in FALLBACK_INSTRUCTIONS
+    # Non-deterministic variant still reproducible, still from the table.
+    d1 = fill_empty_instructions([""], state, deterministic=False)
+    d2 = fill_empty_instructions([""], state, deterministic=False)
+    assert d1 == d2 and d1[0] in FALLBACK_INSTRUCTIONS
