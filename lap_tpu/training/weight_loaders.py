@@ -115,13 +115,27 @@ class CheckpointWeightLoader:
         return merge_params(loaded, params_shape, missing_regex=".*lora.*")
 
 
+def recover_dtype(a: np.ndarray) -> np.ndarray:
+    """np.save stores bfloat16 as a 2-byte void dtype; view it back
+    (reference weight_loaders.py:25-30 — required for PaliGemma2 npz
+    exports, which ship bf16 arrays)."""
+    if hasattr(a, "dtype") and a.dtype.type is np.void:
+        if a.itemsize != 2:
+            raise ValueError(f"unknown void dtype with itemsize {a.itemsize}")
+        return a.view(jnp.bfloat16)
+    return a
+
+
 @dataclasses.dataclass(frozen=True)
 class PaliGemmaWeightLoader:
-    """Load big_vision PaliGemma ``.npz`` weights into expert 0 + SigLIP.
+    """Load big_vision PaliGemma / PaliGemma2 ``.npz`` weights into
+    expert 0 + SigLIP.
 
     npz keys look like ``params/img/embedding/kernel`` and
     ``params/llm/layers/attn/q_einsum/w``; everything else (action expert,
     projections) keeps its fresh init (reference weight_loaders.py:109-124).
+    PaliGemma2 exports additionally store bfloat16 arrays (void-2 in npz,
+    recovered here — reference ``PaliGemma2WeightLoader``, :127-140).
     """
 
     npz_path: str
@@ -132,7 +146,7 @@ class PaliGemmaWeightLoader:
         loaded = {}
         for key, value in flat_np.items():
             key = key.removeprefix("params/")
-            loaded[self._remap(key)] = jnp.asarray(value)
+            loaded[self._remap(key)] = jnp.asarray(recover_dtype(value))
         return merge_params(unflatten(loaded), params_shape, missing_regex=".*")
 
     @staticmethod
@@ -151,7 +165,7 @@ class PaliGemmaWeightLoader:
 class WeightLoaderChoice:
     """CLI-friendly weight-loader selector (reference weight_loaders.py:631)."""
 
-    kind: Literal["none", "checkpoint", "paligemma", "gemma3"] = "none"
+    kind: Literal["none", "checkpoint", "paligemma", "paligemma2", "gemma3"] = "none"
     params_path: str | None = None
 
     def build(self) -> WeightLoader | None:
@@ -161,9 +175,11 @@ class WeightLoaderChoice:
             if not self.params_path:
                 raise ValueError("checkpoint loader requires params_path")
             return CheckpointWeightLoader(self.params_path)
-        if self.kind == "paligemma":
+        if self.kind in ("paligemma", "paligemma2"):
+            # Same npz layout; paligemma2 exports carry bf16 (recovered
+            # unconditionally, reference kinds :653-674).
             if not self.params_path:
-                raise ValueError("paligemma loader requires params_path (.npz)")
+                raise ValueError(f"{self.kind} loader requires params_path (.npz)")
             return PaliGemmaWeightLoader(self.params_path)
         if self.kind == "gemma3":
             from lap_tpu.training.gemma3_weights import Gemma3ScanCompatibleWeightLoader

@@ -96,6 +96,51 @@ def test_paligemma_npz_roundtrip(tmp_path, lap_params):
         )
 
 
+def test_paligemma2_bf16_npz_recovers_dtype(tmp_path, lap_params):
+    """PaliGemma2 npz exports store bfloat16 arrays, which np.save writes
+    as 2-byte void (reference weight_loaders.py:25-30 recover_dtype +
+    PaliGemma2WeightLoader :127-140). The loader must view them back to
+    bf16 with values conserved — NOT pass void arrays downstream."""
+    import jax.numpy as jnp
+
+    flat = flatten(lap_params)
+    npz = {}
+    for key, val in flat.items():
+        bv = _bv_npz_key(key)
+        if bv is not None:
+            npz[bv] = np.asarray(jnp.asarray(val, jnp.bfloat16))
+    buf = io.BytesIO()
+    np.savez(buf, **npz)
+    path = tmp_path / "pt_224_bf16.npz"
+    path.write_bytes(buf.getvalue())
+
+    # np.load really does hand back void-2 for these (the premise).
+    raw = dict(np.load(io.BytesIO(path.read_bytes()), allow_pickle=False))
+    assert any(v.dtype.type is np.void and v.itemsize == 2 for v in raw.values())
+
+    loaded = PaliGemmaWeightLoader(str(path)).load(lap_params)
+    flat_loaded = flatten(loaded)
+    for key, val in flat.items():
+        got = flat_loaded[key]
+        if _bv_npz_key(key) is None:
+            continue  # fresh init, untouched
+        assert np.asarray(got).dtype != np.dtype("V2"), key
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32),
+            np.asarray(jnp.asarray(val, jnp.bfloat16), np.float32),
+            err_msg=key,
+        )
+
+
+def test_weight_loader_choice_paligemma2_kind():
+    from lap_tpu.training.weight_loaders import WeightLoaderChoice
+
+    loader = WeightLoaderChoice(kind="paligemma2", params_path="x.npz").build()
+    assert isinstance(loader, PaliGemmaWeightLoader)
+    with pytest.raises(ValueError, match="params_path"):
+        WeightLoaderChoice(kind="paligemma2").build()
+
+
 def test_paligemma_npz_rejects_shape_mismatch(tmp_path, lap_params):
     flat = flatten(lap_params)
     npz = {_bv_npz_key(k): np.asarray(v) for k, v in flat.items() if _bv_npz_key(k)}
