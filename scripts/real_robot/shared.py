@@ -51,13 +51,22 @@ class RunnerConfig:
     camera_keys: tuple[str, ...] = ("exterior_image_1_left", "wrist_image_left")
     rotate_wrist_180: bool = True
     # Gripper OBSERVATION convention per rig (reference droid_main.py:23-24 /
-    # franka_main.py:24-25): "invert_binarize" (DROID: 1=closed raw),
-    # "binarize" (Franka: 1=open raw), or "identity".
+    # franka_main.py:24-25, :46-48): "invert_binarize" (DROID: 1=closed raw),
+    # "binarize" (Franka: 1=open raw), "binarize_invert" (Franka upstream:
+    # 1 - binarize), or "identity".
     gripper_obs_mode: str = "identity"
+    # rot6d orientation in the state vector (reference shared.py:128-134);
+    # upstream Franka serves plain pos3+rpy3 (franka_main.py:43-44).
+    use_rot6d_state: bool = True
     # Emit pos3+quat4+grip targets instead of pos3+rpy3+grip
     # (reference franka_main.py use_quaternion_actions).
     use_quaternions: bool = False
     frame_description: str = "end-effector frame"
+    # Upstream (openpi-style) serving: execute the server's raw ``actions``
+    # chunk open-loop instead of parsing language actions + SLERP targets
+    # (reference shared.py:423-430 run_upstream, droid_main.py:27-35).
+    upstream: bool = False
+    open_loop_horizon: int = OPEN_LOOP_HORIZON
     video_dir: str = "data/real_robot/videos"
     log_dir: str = "data/real_robot/logs"
     max_steps: int = 600
@@ -98,6 +107,8 @@ class BaseEvalRunner:
             return binarize_gripper_actions_np(1.0 - g, threshold=0.5)
         if self.config.gripper_obs_mode == "binarize":
             return binarize_gripper_actions_np(g)
+        if self.config.gripper_obs_mode == "binarize_invert":
+            return 1.0 - binarize_gripper_actions_np(g)
         return g
 
     def extract_state(self, obs: dict) -> np.ndarray:
@@ -105,7 +116,8 @@ class BaseEvalRunner:
         rpy = np.asarray(obs["robot_state"]["cartesian_position"][3:6], dtype=np.float64)
         gripper = np.clip(float(obs["robot_state"]["gripper_position"]), 0, 1)
         gripper = self.process_gripper_observation(np.array([gripper]))
-        return np.concatenate([pos, euler_to_rot6d(rpy), gripper]).astype(np.float32)
+        orient = euler_to_rot6d(rpy) if self.config.use_rot6d_state else rpy
+        return np.concatenate([pos, orient, gripper]).astype(np.float32)
 
     def build_request(self, obs: dict, prompt: str) -> dict:
         base, wrist = self.extract_images(obs)
@@ -136,19 +148,27 @@ class BaseEvalRunner:
         while step < self.config.max_steps:
             request = self.build_request(obs, prompt)
             response = self.client.infer(request)
-            current = obs["robot_state"]["cartesian_position"]
-            targets = self.post.process_response(
-                response,
-                curr_pos=np.asarray(current[:3], dtype=float),
-                curr_rpy=np.asarray(current[3:6], dtype=float),
-                gripper_postprocess_fn=self._gripper_postprocess,
-                orientation_interpolator_fn=interpolate_rpy,
-            )
-            targets = targets[:OPEN_LOOP_HORIZON]
+            if self.config.upstream:
+                # Raw chunk, per-step gripper binarization (reference
+                # shared.py:72-78, :423-430): no SLERP, no frame conversion.
+                targets = np.asarray(response["actions"], dtype=float)
+                targets = targets[: self.config.open_loop_horizon].copy()
+                targets[:, -1] = (targets[:, -1] > 0.5).astype(float)
+            else:
+                current = obs["robot_state"]["cartesian_position"]
+                targets = self.post.process_response(
+                    response,
+                    curr_pos=np.asarray(current[:3], dtype=float),
+                    curr_rpy=np.asarray(current[3:6], dtype=float),
+                    gripper_postprocess_fn=self._gripper_postprocess,
+                    orientation_interpolator_fn=interpolate_rpy,
+                )
+                targets = targets[:OPEN_LOOP_HORIZON]
+            step_fn = self.env.step_raw if self.config.upstream else self.env.step_absolute
             for target in targets:
                 t0 = time.monotonic()
                 with deferred_keyboard_interrupt():
-                    obs = self.env.step_absolute(target)
+                    obs = step_fn(target)
                 frames.append(request["observation"]["base_0_rgb"])
                 step += 1
                 elapsed = time.monotonic() - t0

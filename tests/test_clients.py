@@ -156,3 +156,82 @@ def test_libero_conversions_match_reference():
     }
     req = mine_req(obs, None, None, "t")
     np.testing.assert_allclose(req["observation"]["state"], gold["lib_state"], rtol=1e-6)
+
+
+def test_upstream_rollout_executes_raw_chunks(monkeypatch, tmp_path):
+    """Upstream mode (reference shared.py:423-430): the server's raw
+    ``actions`` chunk is stepped open-loop with per-step gripper
+    binarization (shared.py:72-78) — no SLERP post-processing."""
+    import scripts.real_robot.shared as shared
+
+    chunk = np.stack([np.r_[np.full(7, 0.1 * i), 0.3 + 0.4 * (i % 2)] for i in range(8)])
+
+    class FakeClient:
+        def __init__(self, host, port):
+            self.calls = 0
+
+        def infer(self, request):
+            self.calls += 1
+            return {"actions": chunk}
+
+    class FakeEnv:
+        def __init__(self):
+            self.raw_actions = []
+
+        def get_observation(self):
+            img = np.zeros((32, 32, 3), np.uint8)
+            return {
+                "image": {"exterior_image_1_left": img, "wrist_image_left": img},
+                "robot_state": {
+                    "cartesian_position": np.zeros(6),
+                    "gripper_position": 0.0,
+                },
+            }
+
+        def step_raw(self, action):
+            self.raw_actions.append(np.asarray(action))
+            return self.get_observation()
+
+        def step_absolute(self, target):  # pragma: no cover - must not be hit
+            raise AssertionError("upstream mode must not SLERP/step_absolute")
+
+    monkeypatch.setattr(shared, "WebsocketClientPolicy", FakeClient)
+    config = shared.RunnerConfig(
+        upstream=True,
+        open_loop_horizon=3,
+        max_steps=6,
+        video_dir=str(tmp_path / "v"),
+        log_dir=str(tmp_path / "l"),
+    )
+    env = FakeEnv()
+    runner = shared.BaseEvalRunner(config, env)
+    runner.rollout_once("stack the cups")
+
+    assert len(env.raw_actions) == 6  # max_steps raw steps
+    assert runner.client.calls == 2  # refetched every open_loop_horizon
+    for i, a in enumerate(env.raw_actions):
+        expect = chunk[i % 3].copy()
+        expect[-1] = 1.0 if expect[-1] > 0.5 else 0.0
+        np.testing.assert_allclose(a, expect)
+
+
+def test_upstream_state_is_plain_rpy(monkeypatch):
+    """Franka upstream serves pos3+rpy3 state (reference franka_main.py:43-44)
+    and 1-binarize gripper obs (:46-48)."""
+    import scripts.real_robot.shared as shared
+
+    monkeypatch.setattr(shared, "WebsocketClientPolicy", lambda h, p: None)
+    config = shared.RunnerConfig(
+        use_rot6d_state=False, gripper_obs_mode="binarize_invert"
+    )
+    runner = shared.BaseEvalRunner(config, env=None)
+    obs = {
+        "robot_state": {
+            "cartesian_position": np.r_[1.0, 2.0, 3.0, 0.1, 0.2, 0.3],
+            "gripper_position": 0.99,
+        }
+    }
+    state = runner.extract_state(obs)
+    assert state.shape == (7,)
+    np.testing.assert_allclose(state[:6], [1, 2, 3, 0.1, 0.2, 0.3], atol=1e-6)
+    assert state[6] == 0.0  # 1 - binarize(0.9) = 0
