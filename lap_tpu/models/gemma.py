@@ -83,6 +83,28 @@ def _name(name: str, i: int) -> str:
     return name if i == 0 else f"{name}_{i}"
 
 
+def unstack_layer_params(llm_params: dict, depth: int) -> dict:
+    """Scan-stacked ``layers`` params -> per-layer ``layers_{i}`` subtrees.
+
+    Converts a checkpoint-layout params tree (every leaf under ``layers``
+    carries a leading [depth] axis from ``nn.scan``) into the layout the
+    ``scan_layers=False`` serving module expects. Values are identical —
+    only the tree structure changes.
+    """
+    if "layers" not in llm_params:
+        raise ValueError("params have no scan-stacked 'layers' subtree")
+    out = {k: v for k, v in llm_params.items() if k != "layers"}
+    stacked = llm_params["layers"]
+    for leaf in jax.tree.leaves(stacked):
+        if leaf.shape[0] != depth:
+            raise ValueError(
+                f"stacked leaf has leading dim {leaf.shape[0]}, expected {depth}"
+            )
+    for i in range(depth):
+        out[f"layers_{i}"] = jax.tree.map(lambda v, i=i: v[i], stacked)
+    return out
+
+
 class RMSNorm(nn.Module):
     """RMSNorm with zero-init scale; adaptive (scale/shift/gate) when given a
     conditioning vector. Returns (normed, gate or None)."""
@@ -105,6 +127,7 @@ class RMSNorm(nn.Module):
 class Embedder(nn.Module):
     vocab_size: int
     embed_dim: int
+    quant: str | None = None
 
     def setup(self):
         self.input_embedding_table = self.param(
@@ -112,12 +135,41 @@ class Embedder(nn.Module):
             nn.initializers.normal(),
             (self.vocab_size, self.embed_dim),
         )
+        if (
+            self.quant is not None
+            and self.vocab_size * self.embed_dim >= lora.QUANT_MIN_WEIGHT_ELEMS
+        ):
+            if self.quant != "int8":
+                raise ValueError(f"unknown quant mode: {self.quant}")
+            # Vocab projection for AR decode: [V, D] -> int8 [D, V]. At one
+            # token/step this read is ~10% of the whole gemma_2b decode.
+            self._decode_w_i8 = self.variable(
+                "quant", "decode_w_i8",
+                lambda: lora._quant_pair(self.input_embedding_table, (1, 0), 1)[0],
+            )
+            self._decode_scale = self.variable(
+                "quant", "decode_scale",
+                lambda: lora._quant_pair(self.input_embedding_table, (1, 0), 1)[1],
+            )
 
     def encode(self, tokens):
         x = self.input_embedding_table[(tokens,)]
         return x * jnp.sqrt(self.embed_dim).astype(x.dtype)
 
     def decode(self, x):
+        if self.quant is not None and hasattr(self, "_decode_w_i8"):
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
+            if rows <= lora.QUANT_MAX_ROWS:
+                from lap_tpu.ops.int8_matmul import int8_matmul
+
+                y = int8_matmul(
+                    x.reshape(rows, self.embed_dim),
+                    self._decode_w_i8.value,
+                    self._decode_scale.value,
+                )
+                return y.reshape(*x.shape[:-1], self.vocab_size)
         return jnp.dot(x, self.input_embedding_table.T)
 
 
@@ -156,6 +208,7 @@ class Attention(nn.Module):
     stop_action_to_vlm_grad: bool = False
     cache_dtype: str | None = None
     attn_impl: str = "auto"
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, xs, positions, attn_mask, kv_cache):
@@ -179,6 +232,7 @@ class Attention(nn.Module):
                         in_axis=-2, out_axis=-1, batch_axis=(0, 1)
                     ),
                     lora_config=config.lora_configs.get("attn"),
+                    quant=self.quant,
                 )("BSD,3KDH->3BSKH", x)
                 q, k, v = qkv[0], qkv[1], qkv[2]
             else:
@@ -189,6 +243,7 @@ class Attention(nn.Module):
                         in_axis=-2, out_axis=-1, batch_axis=(0,)
                     ),
                     lora_config=config.lora_configs.get("attn"),
+                    quant=self.quant,
                 )("BTD,NDH->BTNH", x)
                 kv = lora.Einsum(
                     shape=(2, config.num_kv_heads, config.width, config.head_dim),
@@ -197,6 +252,7 @@ class Attention(nn.Module):
                         in_axis=-2, out_axis=-1, batch_axis=(0, 1)
                     ),
                     lora_config=config.lora_configs.get("attn"),
+                    quant=self.quant,
                 )("BSD,2KDH->2BSKH", x)
                 k, v = kv[0], kv[1]
             qs.append(q)
@@ -266,6 +322,7 @@ class Attention(nn.Module):
                 name=_name("attn_vec_einsum", i),
                 init_fn=nn.initializers.lecun_normal(in_axis=(-3, -2), out_axis=-1),
                 lora_config=config.lora_configs.get("attn"),
+                quant=self.quant,
             )
             out.append(proj("BTNH,NHD->BTD", encoded[:, start:end]))
             start = end
@@ -284,6 +341,7 @@ class Block(nn.Module):
     cache_dtype: str | None = None
     dropout: float = 0.0
     attn_impl: str = "auto"
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, xs, kv_cache, positions, attn_mask, adarms_cond, deterministic=True):
@@ -308,6 +366,7 @@ class Block(nn.Module):
             stop_action_to_vlm_grad=self.stop_action_to_vlm_grad,
             cache_dtype=self.cache_dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="attn",
         )(pre, positions, attn_mask, kv_cache)
         post = jax.tree.map(lambda x: drop(x, deterministic), post)
@@ -324,6 +383,7 @@ class Block(nn.Module):
                     hidden_dim=config.mlp_dim,
                     name=_name("mlp", i),
                     lora_config=config.lora_configs.get("ffn"),
+                    quant=self.quant,
                 )(x)
             outs.append(x)
             gates.append(gate)
@@ -354,6 +414,17 @@ class Module(nn.Module):
     # fastest backward, highest activation memory; fits small models/meshes
     # with generous HBM).
     remat_policy: str = "nothing_saveable"
+    # Layers as one nn.scan over stacked params (training / checkpoint
+    # layout) vs depth separate blocks "layers_{i}" (serving-only). The
+    # unscanned form exists for the int8 decode path: Pallas kernels cannot
+    # fuse the scan's per-layer weight slice (it would materialize a copy
+    # per layer), so quantized weights must be real per-layer arrays. Use
+    # ``unstack_layer_params`` to convert a scan-stacked checkpoint.
+    scan_layers: bool = True
+    # Weight-only quantization of the decode matmuls ("int8" or None).
+    # Serving-only and opt-in: requires a populated "quant" variable
+    # collection (see lap_model.LAP.quantize_fn / policy_config).
+    quant: str | None = None
 
     def setup(self):
         if not all(c.depth == self.configs[0].depth for c in self.configs):
@@ -361,31 +432,47 @@ class Module(nn.Module):
         self.embedder = Embedder(
             vocab_size=self.vocab_size,
             embed_dim=self.configs[0].width,
+            quant=self.quant,
             name="embedder",
         )
-        if self.remat_policy == "none":
-            block_cls = Block
-        else:
-            block_cls = nn.remat(
-                Block,
-                prevent_cse=False,
-                static_argnums=(5,),
-                policy=getattr(jax.checkpoint_policies, self.remat_policy),
-            )
-        self.layers = nn.scan(
-            block_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
-            length=self.configs[0].depth,
-            unroll=self.scan_unroll,
-        )(
+        block_kwargs = dict(
             configs=tuple(self.configs),
             dropout=self.dropout,
             stop_action_to_vlm_grad=self.stop_action_to_vlm_grad,
             cache_dtype=self.cache_dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
         )
+        if not self.scan_layers:
+            # Serving-only: plain per-layer blocks, no remat (no backward).
+            self.blocks = [
+                Block(**block_kwargs, name=f"layers_{i}")
+                for i in range(self.configs[0].depth)
+            ]
+        else:
+            if self.quant is not None:
+                raise ValueError(
+                    "quant requires scan_layers=False (per-layer weight "
+                    "arrays; the scan's weight slices cannot feed Pallas "
+                    "without materializing copies)"
+                )
+            if self.remat_policy == "none":
+                block_cls = Block
+            else:
+                block_cls = nn.remat(
+                    Block,
+                    prevent_cse=False,
+                    static_argnums=(5,),
+                    policy=getattr(jax.checkpoint_policies, self.remat_policy),
+                )
+            self.layers = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.configs[0].depth,
+                unroll=self.scan_unroll,
+            )(**block_kwargs)
         self.final_norms = [
             RMSNorm(name=_name("final_norm", i)) for i in range(len(self.configs))
         ]
@@ -426,9 +513,24 @@ class Module(nn.Module):
         # the activation side in the scan backward and falls into involuntary
         # full rematerializations (norm reduce_sum / silu add_any reshards).
         adarms_cond = activation_sharding_constraint(adarms_cond)
-        embedded, kv_cache = self.layers(
-            embedded, kv_cache, positions, mask, adarms_cond, deterministic
-        )
+        if self.scan_layers:
+            embedded, kv_cache = self.layers(
+                embedded, kv_cache, positions, mask, adarms_cond, deterministic
+            )
+        else:
+            layer_caches = []
+            for i, block in enumerate(self.blocks):
+                layer_in = (
+                    None
+                    if kv_cache is None
+                    else jax.tree.map(lambda c, i=i: c[i], kv_cache)
+                )
+                embedded, layer_out = block(
+                    embedded, layer_in, positions, mask, adarms_cond, deterministic
+                )
+                layer_caches.append(layer_out)
+            # Same stacked [L, ...] cache layout as the scanned form.
+            kv_cache = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_caches)
         out = [
             f(e, a)[0] if e is not None else None
             for f, e, a in zip(self.final_norms, embedded, adarms_cond, strict=True)

@@ -57,6 +57,11 @@ class LAPGemma3(LAP):
         cfg = self.config
         if "gemma3" not in cfg.paligemma_variant or "gemma3" not in cfg.action_expert_variant:
             raise ValueError("LAPGemma3 requires gemma3 variants for both experts")
+        if cfg.quant is not None or not cfg.scan_layers:
+            raise NotImplementedError(
+                "int8 decode quantization / unscanned layers are implemented "
+                "for the PaliGemma backbone only (lap_model.LAP)"
+            )
         paligemma_config = _gemma3.get_config(cfg.paligemma_variant)
         action_cfg = _gemma3.get_config(cfg.action_expert_variant)
         configs = [paligemma_config]

@@ -94,6 +94,13 @@ class LAPConfig:
     # Block remat policy ("nothing_saveable" / "none" / any
     # jax.checkpoint_policies name). See gemma.Module.remat_policy.
     remat_policy: str = "nothing_saveable"
+    # Serving-only knobs (set by policy_config when quantized serving is
+    # requested): scan_layers=False builds per-layer blocks whose weights
+    # are real arrays (required for the Pallas int8 path; see
+    # gemma.Module.scan_layers), quant="int8" streams decode-shaped matmuls
+    # through int8 weight copies in the "quant" variable collection.
+    scan_layers: bool = True
+    quant: str | None = None
 
     @property
     def image_keys(self) -> tuple[str, ...]:
@@ -223,6 +230,8 @@ class LAP(nn.Module):
             attn_impl=cfg.attn_impl,
             scan_unroll=cfg.scan_unroll,
             remat_policy=cfg.remat_policy,
+            scan_layers=cfg.scan_layers,
+            quant=cfg.quant,
             name="llm",
         )
         # big_vision ViT head: per-token Dense projecting to the LLM width

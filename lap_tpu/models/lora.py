@@ -12,9 +12,56 @@ and never exist in released checkpoints.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+from lap_tpu.ops.int8_matmul import int8_matmul, quantize_int8
+
+# Row threshold for dispatching to the Pallas int8 dequant-matmul: decode
+# calls (1 AR token, or batch x action_horizon flow-suffix rows) are HBM
+# weight-read bound and win ~2x from int8 streaming; prefill calls
+# (hundreds of rows) are MXU-bound and stay on the exact bf16 einsum.
+QUANT_MAX_ROWS = 128
+# Weights below this element count stay bf16: the kernel's fixed dispatch
+# cost (~10 us) eats the bandwidth saving on small matrices (measured on
+# v5e: K=1024,N=2048 REGRESSED 0.6x while K=16384,N=2048 won 2.9x). At the
+# default, gemma_2b's qkv/proj/MLP/vocab matmuls quantize; the tiny
+# kv_einsum and the 300m expert's attention projections do not.
+QUANT_MIN_WEIGHT_ELEMS = 4 * 2**20
+
+
+def _plan_quant_einsum(eqn: str):
+    """Decompose ``einsum(eqn, x, w)`` into a 2-D ``[M,K] @ [K,N]`` matmul.
+
+    Returns (x_batch, contract, w_out, w_perm, out_perm) where ``w_perm``
+    transposes w to (contract..., out...) and ``out_perm`` transposes the
+    reshaped [*x_batch, *w_out] result into the eqn's output order.
+    Requires x's axes to already be laid out (batch..., contract...) — true
+    for every spec the Gemma backbones use.
+    """
+    lhs, out_spec = eqn.split("->")
+    x_spec, w_spec = lhs.split(",")
+    contract = [a for a in w_spec if a in x_spec]
+    w_out = [a for a in w_spec if a not in x_spec]
+    x_batch = [a for a in x_spec if a not in w_spec]
+    if list(x_spec) != x_batch + contract:
+        raise ValueError(f"x axes not (batch..., contract...) in {eqn!r}")
+    natural = x_batch + w_out
+    if sorted(out_spec) != sorted(natural) or len(out_spec) != len(natural):
+        raise ValueError(f"unsupported output spec in {eqn!r}")
+    w_perm = tuple(w_spec.index(a) for a in contract + w_out)
+    out_perm = tuple(natural.index(a) for a in out_spec)
+    return x_batch, contract, w_out, w_perm, out_perm
+
+
+def _quant_pair(w_raw, w_perm, n_contract: int):
+    """One-time relayout + symmetric per-output-channel int8 quantization."""
+    wt = jnp.transpose(w_raw, w_perm)
+    k = math.prod(wt.shape[:n_contract])
+    n = math.prod(wt.shape[n_contract:])
+    return quantize_int8(wt.reshape(k, n), axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,16 +94,47 @@ def _lora_einsum(eqn: str, x, a, b, scaling: float):
 
 
 class Einsum(nn.Module):
-    """y = einsum(spec, x, w) with an optional low-rank residual adapter."""
+    """y = einsum(spec, x, w) with an optional low-rank residual adapter.
+
+    With ``quant="int8"`` (serving-only, opt-in) an int8 copy of the weight
+    lives in the "quant" variable collection; decode-shaped calls (few rows)
+    stream it through the Pallas dequant-matmul while prefill keeps the
+    exact bf16 einsum. LoRA-adapted einsums never quantize (adapters are
+    unmerged, so the base-weight-only kernel would drop them).
+    """
 
     shape: tuple[int, ...]
     init_fn: nn.initializers.Initializer
     lora_config: LoRAConfig | None = None
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, eqn: str, x):
         dtype = x.dtype
-        w = self.param("w", self.init_fn, self.shape).astype(dtype)
+        w_raw = self.param("w", self.init_fn, self.shape)
+        w = w_raw.astype(dtype)
+        if (
+            self.quant is not None
+            and self.lora_config is None
+            and math.prod(self.shape) >= QUANT_MIN_WEIGHT_ELEMS
+        ):
+            if self.quant != "int8":
+                raise ValueError(f"unknown quant mode: {self.quant}")
+            x_batch, contract, _w_out, w_perm, out_perm = _plan_quant_einsum(eqn)
+            w_i8 = self.variable(
+                "quant", "w_i8", lambda: _quant_pair(w_raw, w_perm, len(contract))[0]
+            )
+            scale = self.variable(
+                "quant", "scale", lambda: _quant_pair(w_raw, w_perm, len(contract))[1]
+            )
+            rows = math.prod(x.shape[: len(x_batch)])
+            if rows <= QUANT_MAX_ROWS:
+                k, n = w_i8.value.shape
+                y2d = int8_matmul(x.reshape(rows, k), w_i8.value, scale.value)
+                out_dims = x.shape[: len(x_batch)] + tuple(
+                    w_raw.shape[p] for p in w_perm[len(contract) :]
+                )
+                return jnp.transpose(y2d.reshape(out_dims), out_perm)
         out = jnp.einsum(eqn, x, w)
         if self.lora_config is not None:
             cfg = self.lora_config
@@ -85,22 +163,45 @@ class FeedForward(nn.Module):
     features: int
     hidden_dim: int
     lora_config: LoRAConfig | None = None
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x):
         dtype = x.dtype
-        w_gating = self.param(
+        w_gating_raw = self.param(
             "gating_einsum",
             nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=(0,)),
             (2, self.features, self.hidden_dim),
-        ).astype(dtype)
-        # One einsum with the gate/up pair as a batch dim, NOT two dots on
-        # static slices: under scan-stacked layers the per-layer
-        # dynamic-slice then feeds the dot directly and fuses, instead of
-        # materializing a [2, D, F] weight copy every layer (measured ~7 ms
-        # per LAP-3B prefill on v5e before this change).
-        gates = jnp.einsum("...D,GDF->G...F", x, w_gating)
-        gate_pre, up = gates[0], gates[1]
+        )
+        w_gating = w_gating_raw.astype(dtype)
+        quantize = (
+            self.quant is not None
+            and self.lora_config is None
+            and 2 * self.features * self.hidden_dim >= QUANT_MIN_WEIGHT_ELEMS
+        )
+        if quantize and self.quant != "int8":
+            raise ValueError(f"unknown quant mode: {self.quant}")
+        if quantize:
+            # [2, D, F] -> [D, 2F] so both projections stream in one kernel.
+            g_i8 = self.variable(
+                "quant", "gating_w_i8", lambda: _quant_pair(w_gating_raw, (1, 0, 2), 1)[0]
+            )
+            g_scale = self.variable(
+                "quant", "gating_scale", lambda: _quant_pair(w_gating_raw, (1, 0, 2), 1)[1]
+            )
+        rows = math.prod(x.shape[:-1])
+        if quantize and rows <= QUANT_MAX_ROWS:
+            y2d = int8_matmul(x.reshape(rows, self.features), g_i8.value, g_scale.value)
+            gates = y2d.reshape(*x.shape[:-1], 2, self.hidden_dim)
+            gate_pre, up = gates[..., 0, :], gates[..., 1, :]
+        else:
+            # One einsum with the gate/up pair as a batch dim, NOT two dots on
+            # static slices: under scan-stacked layers the per-layer
+            # dynamic-slice then feeds the dot directly and fuses, instead of
+            # materializing a [2, D, F] weight copy every layer (measured ~7 ms
+            # per LAP-3B prefill on v5e before this change).
+            gates = jnp.einsum("...D,GDF->G...F", x, w_gating)
+            gate_pre, up = gates[0], gates[1]
         if self.lora_config is not None:
             cfg = self.lora_config
             a = self.param(
@@ -116,12 +217,25 @@ class FeedForward(nn.Module):
             gate_pre = gate_pre + cfg.scaling_value * ((x @ a[0]) @ b[0])
             up = up + cfg.scaling_value * ((x @ a[1]) @ b[1])
         act = nn.gelu(gate_pre) * up
-        w_linear = self.param(
+        w_linear_raw = self.param(
             "linear",
             nn.initializers.lecun_normal(in_axis=-2, out_axis=-1),
             (self.hidden_dim, self.features),
-        ).astype(dtype)
-        out = act @ w_linear
+        )
+        w_linear = w_linear_raw.astype(dtype)
+        if quantize:
+            l_i8 = self.variable(
+                "quant", "linear_w_i8", lambda: _quant_pair(w_linear_raw, (0, 1), 1)[0]
+            )
+            l_scale = self.variable(
+                "quant", "linear_scale", lambda: _quant_pair(w_linear_raw, (0, 1), 1)[1]
+            )
+        if quantize and rows <= QUANT_MAX_ROWS:
+            out = int8_matmul(
+                act.reshape(rows, self.hidden_dim), l_i8.value, l_scale.value
+            ).reshape(*x.shape[:-1], self.features)
+        else:
+            out = act @ w_linear
         if self.lora_config is not None:
             cfg = self.lora_config
             a = self.param(

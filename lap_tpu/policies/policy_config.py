@@ -82,7 +82,7 @@ def _require_real_tokenizer(stacks, *, allow_test_vocab: bool):
                 )
 
 
-def _restore(train_config, checkpoint_dir: Path):
+def _restore(train_config, checkpoint_dir: Path, *, quantize: str | None = None):
     from lap_tpu.training.checkpoints import restore_params
 
     # Inference always runs the model in bf16 on TPU (reference
@@ -94,13 +94,37 @@ def _restore(train_config, checkpoint_dir: Path):
     # weight prefetch across layers/steps (LAP-3B: 28.9 -> 32.3 Hz on v5e).
     import dataclasses
 
-    model_cfg = dataclasses.replace(
-        train_config.model,
+    overrides = dict(
         stop_action_to_vlm_grad=False,
         scan_unroll=train_config.model.backbone_depth,
     )
+    if quantize is not None:
+        # Weight-only int8 decode: per-layer blocks (Pallas kernels need
+        # real per-layer weight arrays, not scan slices) + a "quant"
+        # variable collection populated from the restored bf16 params.
+        # Opt-in: ~0.4% per-matmul weight rounding on the decode path;
+        # prefill stays exact bf16.
+        overrides.update(quant=quantize, scan_layers=False, scan_unroll=1)
+    model_cfg = dataclasses.replace(train_config.model, **overrides)
     model = model_cfg.create_module()
-    return model, {"params": params} if "params" not in params else params
+    variables = {"params": params} if "params" not in params else params
+    if quantize is not None:
+        import jax
+
+        from lap_tpu.models import gemma as _gemma
+
+        p = dict(variables["params"])
+        p["llm"] = _gemma.unstack_layer_params(
+            dict(p["llm"]), model_cfg.backbone_depth
+        )
+        variables = {"params": p}
+        _, qvars = jax.jit(
+            lambda v, r: model.apply(
+                v, r, method=model.init_params_fn, mutable=["quant"]
+            )
+        )(variables, jax.random.PRNGKey(0))
+        variables = {"params": p, "quant": qvars["quant"]}
+    return model, variables
 
 
 def create_trained_policy(
@@ -110,6 +134,7 @@ def create_trained_policy(
     default_prompt: str | None = None,
     num_steps: int = 10,
     allow_test_vocab: bool = False,
+    quantize: str | None = None,
 ) -> Policy:
     checkpoint_dir = Path(checkpoint_dir)
     # Stacks + tokenizer guard FIRST: they need only the config and cheap
@@ -120,7 +145,7 @@ def create_trained_policy(
         train_config, norm_stats, default_prompt=default_prompt, ar=False
     )
     _require_real_tokenizer([inputs, outputs], allow_test_vocab=allow_test_vocab)
-    model, params = _restore(train_config, checkpoint_dir)
+    model, params = _restore(train_config, checkpoint_dir, quantize=quantize)
     return Policy(
         model,
         params,
@@ -139,6 +164,7 @@ def create_trained_policy_ar(
     max_decoding_steps: int = 390,
     temperature: float = 0.0,
     allow_test_vocab: bool = False,
+    quantize: str | None = None,
 ) -> ARPolicy:
     checkpoint_dir = Path(checkpoint_dir)
     norm_stats = _load_norm_stats(checkpoint_dir, train_config.data.asset_id)
@@ -146,7 +172,7 @@ def create_trained_policy_ar(
         train_config, norm_stats, default_prompt=default_prompt, ar=True
     )
     _require_real_tokenizer([inputs, outputs], allow_test_vocab=allow_test_vocab)
-    model, params = _restore(train_config, checkpoint_dir)
+    model, params = _restore(train_config, checkpoint_dir, quantize=quantize)
     return ARPolicy(
         model,
         params,
