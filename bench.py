@@ -37,9 +37,19 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def _flagship_cfg(on_tpu: bool, *, action_horizon: int = 16, scan_unroll: int = 1):
+def _flagship_cfg(
+    on_tpu: bool, *, action_horizon: int = 16, scan_unroll: int = 1,
+    quant: str | None = None,
+):
     from lap_tpu.models.lap_model import LAPConfig
 
+    if quant is not None:
+        import dataclasses
+
+        base = _flagship_cfg(on_tpu, action_horizon=action_horizon)
+        return dataclasses.replace(
+            base, quant=quant, scan_layers=False, scan_unroll=1
+        )
     if on_tpu:
         return LAPConfig(
             paligemma_variant="gemma_2b",
@@ -100,11 +110,13 @@ def _gemma3_cfg(on_tpu: bool):
 
 def _init_params(model, dtype):
     rng = jax.random.PRNGKey(0)
+
+    def cast(x):
+        # Keep integer leaves (the int8 "quant" collection) untouched.
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
     params = jax.jit(
-        lambda k: jax.tree.map(
-            lambda x: x.astype(dtype),
-            model.init(k, k, method=model.init_params_fn),
-        )
+        lambda k: jax.tree.map(cast, model.init(k, k, method=model.init_params_fn))
     )(rng)
     jax.block_until_ready(params)
     return params
@@ -158,7 +170,7 @@ def bench_inference(
     return float(np.percentile(np.array(per_iter), 50))
 
 
-def bench_ar_decode(cfg, on_tpu: bool) -> dict:
+def bench_ar_decode(cfg, on_tpu: bool, key_prefix: str = "ar") -> dict:
     """The SECOND serving mode: right-aligned prefill + greedy cached AR
     decode (reference lap.py:677-766, <=390-token budget).
 
@@ -203,6 +215,13 @@ def bench_ar_decode(cfg, on_tpu: bool) -> dict:
     t_small, t_full = timed(budgets[0]), timed(budgets[1])
     per_token = max((t_full - t_small) / (budgets[1] - budgets[0]), 1e-9)
     overhead = max(t_small - budgets[0] * per_token, 0.0)
+
+    if key_prefix != "ar":
+        # Secondary (quantized) run: decode throughput + worst case only.
+        return {
+            f"{key_prefix}_tokens_per_sec": round(1.0 / per_token, 1),
+            f"{key_prefix}_full_budget_ms": round(t_full * 1e3, 1),
+        }
 
     # Tokens for one typical parsed language action (verbose_with_rotation
     # summary text + EOS), counted with the serving tokenizer.
@@ -645,6 +664,17 @@ def main():
         record.update(bench_ar_decode(_flagship_cfg(on_tpu, scan_unroll=18 if on_tpu else 1), on_tpu))
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["ar_decode_skipped"] = str(e)[:120]
+    try:
+        # int8 weight-only decode (serve_policy --quantize int8): the Pallas
+        # dequant-matmul streams int8 weights on the <=128-row decode calls
+        # (measured r4: 7.07 -> 4.11 ms/token at LAP-3B shape on v5e).
+        record.update(
+            bench_ar_decode(
+                _flagship_cfg(on_tpu, quant="int8"), on_tpu, key_prefix="ar_int8"
+            )
+        )
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        record["ar_int8_skipped"] = str(e)[:120]
     record.update(bench_train_step(on_tpu))
     record.update(bench_train_with_input(on_tpu))
     record.update(bench_loader())

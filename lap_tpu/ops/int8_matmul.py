@@ -71,13 +71,27 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = (acc_ref[:] * s_ref[0, :][None, :]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k"))
-def int8_matmul(x, w_i8, scales, *, block_n: int = 0, block_k: int = 0):
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_k", "force_kernel")
+)
+def int8_matmul(
+    x, w_i8, scales, *, block_n: int = 0, block_k: int = 0,
+    force_kernel: bool = False,
+):
     """``x @ (w_i8 * scales)`` with int8 weights streamed from HBM.
 
     x: [M, K] bf16/f32 (M small — the decode path), w_i8: [K, N] int8,
     scales: [N] f32. Returns [M, N] in x.dtype.
+
+    Off-TPU this computes the math-equal XLA expression instead of the
+    interpreted kernel: interpret mode walks the grid in Python (minutes
+    for a 257k-column vocab projection), and CPU callers only need the
+    quantized math, not the kernel schedule. ``force_kernel=True`` runs
+    the kernel anyway (interpret mode off-TPU) — used by the kernel
+    parity tests.
     """
+    if _interpret() and not force_kernel:
+        return int8_matmul_reference(x, w_i8, scales)
     m, kdim = x.shape
     k2, n = w_i8.shape
     assert kdim == k2 and scales.shape == (n,), (x.shape, w_i8.shape, scales.shape)

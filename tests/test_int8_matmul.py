@@ -40,7 +40,7 @@ def _mk(m, k, n, seed=0, dtype=jnp.bfloat16):
 )
 def test_kernel_matches_oracle_bitwise(m, k, n):
     x, w_i8, scales = _mk(m, k, n, seed=m)
-    got = int8_matmul(x, w_i8, scales)
+    got = int8_matmul(x, w_i8, scales, force_kernel=True)
     want = int8_matmul_reference(x, w_i8, scales)
     assert got.dtype == x.dtype and got.shape == (m, n)
     np.testing.assert_array_equal(
@@ -50,7 +50,7 @@ def test_kernel_matches_oracle_bitwise(m, k, n):
 
 def test_kernel_float32_activations():
     x, w_i8, scales = _mk(5, 256, 512, seed=7, dtype=jnp.float32)
-    got = int8_matmul(x, w_i8, scales)
+    got = int8_matmul(x, w_i8, scales, force_kernel=True)
     want = int8_matmul_reference(x, w_i8, scales)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
@@ -72,7 +72,7 @@ def test_quantize_int8_zero_column_is_safe():
     w_i8, scales = quantize_int8(jnp.asarray(w), axis=0)
     assert np.isfinite(np.asarray(scales)).all()
     x = jnp.ones((1, 64), jnp.bfloat16)
-    out = int8_matmul(x, w_i8, scales)
+    out = int8_matmul(x, w_i8, scales, force_kernel=True)
     assert np.isfinite(np.asarray(out, np.float32)).all()
     # All-zero columns decode to exactly zero.
     np.testing.assert_array_equal(np.asarray(out, np.float32)[0, 1:], 0.0)
@@ -82,7 +82,7 @@ def test_non_divisible_n_falls_back_to_full_block():
     # N=200 has no candidate divisor -> single N block of 200 (lane-padded
     # inside Mosaic/interpret); the math must still be exact.
     x, w_i8, scales = _mk(3, 256, 200, seed=11)
-    got = int8_matmul(x, w_i8, scales)
+    got = int8_matmul(x, w_i8, scales, force_kernel=True)
     want = int8_matmul_reference(x, w_i8, scales)
     np.testing.assert_array_equal(
         np.asarray(got, np.float32), np.asarray(want, np.float32)
