@@ -129,21 +129,68 @@ class FeedForward(nn.Module):
     features: int
     hidden_dim: int
     lora_config: lora.LoRAConfig | None = None
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x):
+        import math as _math
+
         dtype = x.dtype
-        w_gating = self.param(
+        w_gating_raw = self.param(
             "gating_einsum",
             nn.initializers.lecun_normal(),
             (2, self.hidden_dim, self.features),
-        ).astype(dtype)
-        gate_full = jnp.einsum("...F,GHF->...GH", x, w_gating)
+        )
+        w_gating = w_gating_raw.astype(dtype)
+        quantize = (
+            self.quant is not None
+            and self.lora_config is None
+            and 2 * self.features * self.hidden_dim >= lora.QUANT_MIN_WEIGHT_ELEMS
+        )
+        if quantize and self.quant != "int8":
+            raise ValueError(f"unknown quant mode: {self.quant}")
+        if quantize:
+            # [2, H, F] -> [F, 2H]: contraction-major for the int8 kernel.
+            g_i8 = self.variable(
+                "quant", "gating_w_i8",
+                lambda: lora._quant_pair(w_gating_raw, (2, 0, 1), 1)[0],
+            )
+            g_scale = self.variable(
+                "quant", "gating_scale",
+                lambda: lora._quant_pair(w_gating_raw, (2, 0, 1), 1)[1],
+            )
+        rows = _math.prod(x.shape[:-1])
+        if quantize and rows <= lora.QUANT_MAX_ROWS:
+            from lap_tpu.ops.int8_matmul import int8_matmul
+
+            y2d = int8_matmul(
+                x.reshape(rows, self.features), g_i8.value, g_scale.value
+            )
+            gate_full = y2d.reshape(*x.shape[:-1], 2, self.hidden_dim)
+        else:
+            gate_full = jnp.einsum("...F,GHF->...GH", x, w_gating)
         hidden = jax.nn.gelu(gate_full[..., 0, :]) * gate_full[..., 1, :]
-        w_linear = self.param(
+        w_linear_raw = self.param(
             "linear", nn.initializers.lecun_normal(), (self.hidden_dim, self.features)
-        ).astype(dtype)
-        out = jnp.einsum("...H,HF->...F", hidden, w_linear)
+        )
+        w_linear = w_linear_raw.astype(dtype)
+        if quantize:
+            l_i8 = self.variable(
+                "quant", "linear_w_i8",
+                lambda: lora._quant_pair(w_linear_raw, (0, 1), 1)[0],
+            )
+            l_scale = self.variable(
+                "quant", "linear_scale",
+                lambda: lora._quant_pair(w_linear_raw, (0, 1), 1)[1],
+            )
+        if quantize and rows <= lora.QUANT_MAX_ROWS:
+            from lap_tpu.ops.int8_matmul import int8_matmul
+
+            out = int8_matmul(
+                hidden.reshape(rows, self.hidden_dim), l_i8.value, l_scale.value
+            ).reshape(*x.shape[:-1], self.features)
+        else:
+            out = jnp.einsum("...H,HF->...F", hidden, w_linear)
         if self.lora_config is not None:
             cfg = self.lora_config
             a = self.param("gating_lora_a", nn.initializers.normal(cfg.init_scale),
@@ -170,6 +217,7 @@ class Attention(nn.Module):
     stop_action_to_vlm_grad: bool = False
     cache_dtype: str | None = None
     attn_impl: str = "auto"
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, xs, positions, attn_mask, kv_cache, is_global_attn, image_mask=None):
@@ -189,6 +237,7 @@ class Attention(nn.Module):
                     name=_name("qkv_einsum", i),
                     init_fn=nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=(0, 1)),
                     lora_config=cfg.lora_configs.get("attn"),
+                    quant=self.quant,
                 )("BSD,3KDH->3BSKH", x)
                 q, k, v = qkv[0], qkv[1], qkv[2]
             else:
@@ -197,12 +246,14 @@ class Attention(nn.Module):
                     name=_name("q_einsum", i),
                     init_fn=nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=(0,)),
                     lora_config=cfg.lora_configs.get("attn"),
+                    quant=self.quant,
                 )("BTD,NDH->BTNH", x)
                 kv = lora.Einsum(
                     shape=(2, cfg.num_kv_heads, cfg.width, cfg.head_dim),
                     name=_name("kv_einsum", i),
                     init_fn=nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=(0, 1)),
                     lora_config=cfg.lora_configs.get("attn"),
+                    quant=self.quant,
                 )("BSD,2KDH->2BSKH", x)
                 k, v = kv[0], kv[1]
             qs.append(q.astype(dtype))
@@ -275,6 +326,7 @@ class Attention(nn.Module):
                 name=_name("attn_vec_einsum", i),
                 init_fn=nn.initializers.lecun_normal(in_axis=(-3, -2), out_axis=-1),
                 lora_config=cfg.lora_configs.get("attn"),
+                quant=self.quant,
             )
             out.append(proj("BTNH,NHD->BTD", encoded[:, start:end]).astype(dtype))
             start = end
@@ -287,6 +339,7 @@ class Block(nn.Module):
     cache_dtype: str | None = None
     dropout: float = 0.0
     attn_impl: str = "auto"
+    quant: str | None = None
 
     @nn.compact
     def __call__(
@@ -308,6 +361,7 @@ class Block(nn.Module):
             stop_action_to_vlm_grad=self.stop_action_to_vlm_grad,
             cache_dtype=self.cache_dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="attn",
         )(pre, positions, attn_mask, kv_cache, is_global_attn, image_mask)
 
@@ -329,6 +383,7 @@ class Block(nn.Module):
                     hidden_dim=cfg.hidden_dim,
                     name=_name("mlp", i),
                     lora_config=cfg.lora_configs.get("ffn"),
+                    quant=self.quant,
                 )(x)
             outs.append(x)
             gates.append(gate)
@@ -357,6 +412,11 @@ class Module(nn.Module):
     # Block remat policy (see gemma.Module.remat_policy): a
     # jax.checkpoint_policies name, or "none" for no remat.
     remat_policy: str = "nothing_saveable"
+    # Per-layer blocks instead of nn.scan (serving-only; required for the
+    # int8 decode path — see gemma.Module.scan_layers).
+    scan_layers: bool = True
+    # Weight-only decode quantization ("int8" or None), serving-only.
+    quant: str | None = None
 
     def setup(self):
         if not all(c.num_layers == self.configs[0].num_layers for c in self.configs):
@@ -364,33 +424,48 @@ class Module(nn.Module):
         self.embedder = Embedder(
             vocab_size=self.configs[0].vocab_size,
             embed_dim=self.configs[0].width,
+            quant=self.quant,
             name="embedder",
         )
         self._is_global_attn = self.configs[0].is_global_attn_array()
-        if self.remat_policy == "none":
-            block_cls = Block
-        else:
-            block_cls = nn.remat(
-                Block,
-                prevent_cse=False,
-                static_argnums=(8,),  # deterministic (0 = self)
-                policy=getattr(jax.checkpoint_policies, self.remat_policy),
-            )
-        self.layers = nn.scan(
-            block_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            # (kv_cache, positions, mask, adarms, is_global, image_mask, det)
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, 0, nn.broadcast, nn.broadcast),
-            length=self.configs[0].num_layers,
-            unroll=self.scan_unroll,
-        )(
+        block_kwargs = dict(
             configs=tuple(self.configs),
             dropout=self.dropout,
             stop_action_to_vlm_grad=self.stop_action_to_vlm_grad,
             cache_dtype=self.cache_dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
         )
+        if not self.scan_layers:
+            self.blocks = [
+                Block(**block_kwargs, name=f"layers_{i}")
+                for i in range(self.configs[0].num_layers)
+            ]
+        else:
+            if self.quant is not None:
+                raise ValueError(
+                    "quant requires scan_layers=False (per-layer weight "
+                    "arrays; the scan's weight slices cannot feed Pallas "
+                    "without materializing copies)"
+                )
+            if self.remat_policy == "none":
+                block_cls = Block
+            else:
+                block_cls = nn.remat(
+                    Block,
+                    prevent_cse=False,
+                    static_argnums=(8,),  # deterministic (0 = self)
+                    policy=getattr(jax.checkpoint_policies, self.remat_policy),
+                )
+            self.layers = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                # (kv_cache, positions, mask, adarms, is_global, image_mask, det)
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, 0, nn.broadcast, nn.broadcast),
+                length=self.configs[0].num_layers,
+                unroll=self.scan_unroll,
+            )(**block_kwargs)
         self.final_norms = [
             RMSNorm(name=_name("final_norm", i)) for i in range(len(self.configs))
         ]
@@ -418,10 +493,29 @@ class Module(nn.Module):
         # Pin [B, W] conditioning to the data axes (see gemma.py.__call__):
         # avoids involuntary rematerialization in the scan backward.
         adarms_cond = activation_sharding_constraint(adarms_cond)
-        embedded, kv_cache = self.layers(
-            embedded, kv_cache, positions, mask, adarms_cond,
-            self._is_global_attn, image_mask, deterministic,
-        )
+        if self.scan_layers:
+            embedded, kv_cache = self.layers(
+                embedded, kv_cache, positions, mask, adarms_cond,
+                self._is_global_attn, image_mask, deterministic,
+            )
+        else:
+            cfg0 = self.configs[0]
+            layer_caches = []
+            for i, block in enumerate(self.blocks):
+                layer_in = (
+                    None
+                    if kv_cache is None
+                    else jax.tree.map(lambda c, i=i: c[i], kv_cache)
+                )
+                embedded, layer_out = block(
+                    embedded, layer_in, positions, mask, adarms_cond,
+                    # Static per-layer attention type: lets XLA drop the
+                    # sliding-window branch entirely on global layers.
+                    jnp.bool_(cfg0.get_attention_type(i) == "global"),
+                    image_mask, deterministic,
+                )
+                layer_caches.append(layer_out)
+            kv_cache = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_caches)
         out = [
             f(e, a)[0] if e is not None else None
             for f, e, a in zip(self.final_norms, embedded, adarms_cond, strict=True)

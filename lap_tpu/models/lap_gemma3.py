@@ -57,11 +57,6 @@ class LAPGemma3(LAP):
         cfg = self.config
         if "gemma3" not in cfg.paligemma_variant or "gemma3" not in cfg.action_expert_variant:
             raise ValueError("LAPGemma3 requires gemma3 variants for both experts")
-        if cfg.quant is not None or not cfg.scan_layers:
-            raise NotImplementedError(
-                "int8 decode quantization / unscanned layers are implemented "
-                "for the PaliGemma backbone only (lap_model.LAP)"
-            )
         paligemma_config = _gemma3.get_config(cfg.paligemma_variant)
         action_cfg = _gemma3.get_config(cfg.action_expert_variant)
         configs = [paligemma_config]
@@ -86,6 +81,8 @@ class LAPGemma3(LAP):
             attn_impl=cfg.attn_impl,
             scan_unroll=cfg.scan_unroll,
             remat_policy=cfg.remat_policy,
+            scan_layers=cfg.scan_layers,
+            quant=cfg.quant,
             name="llm",
         )
         # Gemma3 SigLIP: RMS soft-embedding norm, average pooling to 256
@@ -215,7 +212,7 @@ class LAPGemma3(LAP):
             x_t, time = step((x_t, time))
         return x_t
 
-    def sample_tokens(self, rng, observation, *, max_decoding_steps: int = 390, temperature: float = 0.0):
+    def sample_tokens(self, rng, observation, *, max_decoding_steps: int = 390, temperature: float = 0.0, stop_on_eos: bool = True):
         cfg = self.config
         observation = preprocess_observation(
             None, observation, train=False, image_keys=list(observation.images.keys()),
@@ -270,7 +267,8 @@ class LAPGemma3(LAP):
 
         def cond(carry):
             *_, eos_mask, step_i = carry
-            return (~jnp.all(eos_mask)) & (step_i < max_decoding_steps)
+            not_done = ~jnp.all(eos_mask) if stop_on_eos else jnp.bool_(True)
+            return not_done & (step_i < max_decoding_steps)
 
         _, _, output_tokens, _, _, _ = jax.lax.while_loop(
             cond, step, (rng, last_logit, output_tokens, kv_cache, jnp.zeros((b,), bool), 0)

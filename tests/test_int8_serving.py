@@ -205,6 +205,31 @@ def test_quantized_ar_decode_runs_deterministically(scanned, monkeypatch):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
 
 
+def test_prefill_rows_take_exact_bf16_path(monkeypatch):
+    """Above QUANT_MAX_ROWS the dispatch must return the exact einsum result
+    (prefill numerics unchanged by quantized serving)."""
+    import flax.linen as nn
+
+    monkeypatch.setattr(_lora, "QUANT_MIN_WEIGHT_ELEMS", 0)
+    m = _lora.Einsum(
+        shape=(8, 32, 16),
+        init_fn=nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=(0,)),
+        quant="int8",
+    )
+    x_small = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), "BTD,NDH->BTNH", x_small)
+    x_big = jax.random.normal(
+        jax.random.PRNGKey(2), (2, _lora.QUANT_MAX_ROWS, 32), jnp.float32
+    )
+    got = m.apply(variables, "BTD,NDH->BTNH", x_big)
+    want = jnp.einsum("BTD,NDH->BTNH", x_big, variables["params"]["w"])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # And below the threshold the quantized path returns something different.
+    got_small = m.apply(variables, "BTD,NDH->BTNH", x_small)
+    want_small = jnp.einsum("BTD,NDH->BTNH", x_small, variables["params"]["w"])
+    assert not np.array_equal(np.asarray(got_small), np.asarray(want_small))
+
+
 def test_quant_requires_unscanned_layers():
     cfg = dataclasses.replace(TINY, quant="int8")  # scan_layers left True
     model = cfg.create_module()
@@ -253,18 +278,111 @@ def test_create_trained_policy_quantized_end_to_end(tmp_path, monkeypatch):
     assert np.isfinite(result["actions"]).all()
 
 
-def test_gemma3_rejects_quant():
-    cfg = LAPConfig(
-        dtype="float32",
-        paligemma_variant="gemma3_300m",
-        action_expert_variant="gemma3_300m",
-        siglip_variant="dummy",
-        quant="int8",
-        scan_layers=False,
-        image_resolution=(56, 56),
+TINY3 = LAPConfig(
+    dtype="float32",
+    paligemma_variant="gemma3_dummy",
+    action_expert_variant="gemma3_dummy",
+    siglip_variant="dummy",
+    action_dim=7,
+    action_horizon=4,
+    max_token_len=80,
+    image_resolution=(56, 56),
+    enable_action_training=True,
+    enable_langact_training=True,
+)
+
+
+def _obs3(cfg, b=1):
+    from lap_tpu.models.tokenizer import GEMMA3_IMAGE_TOKEN
+
+    obs = cfg.fake_obs(b)
+    tok = np.full((b, cfg.max_token_len), 5, np.int32)
+    tok[:, 0] = 2
+    tok[:, 4:20] = GEMMA3_IMAGE_TOKEN
+    tok[:, 24:40] = GEMMA3_IMAGE_TOKEN
+    langact = np.zeros((b, cfg.max_token_len), bool)
+    langact[:, 60:] = True
+    return obs.replace(
+        tokenized_prompt=jnp.asarray(tok),
+        tokenized_langact_mask=jnp.asarray(langact),
+        token_loss_mask=jnp.ones((b, cfg.max_token_len), bool),
     )
-    model = cfg.create_module()
-    with pytest.raises(NotImplementedError):
-        model.init(
-            jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
-        )
+
+
+@pytest.fixture(scope="module")
+def gemma3_scanned():
+    model = TINY3.create_module()
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(43), len(leaves))
+    leaves = [
+        v + 0.03 * jax.random.normal(k, v.shape, v.dtype)
+        for v, k in zip(leaves, keys)
+    ]
+    return model, jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def test_gemma3_unscanned_matches_scanned(gemma3_scanned):
+    model, params = gemma3_scanned
+    cfg_u = dataclasses.replace(TINY3, scan_layers=False)
+    model_u = cfg_u.create_module()
+    p_u = _unstacked_params(params, TINY3.backbone_depth)
+
+    obs = _obs3(TINY3)
+    noise = jnp.asarray(
+        np.random.default_rng(9).normal(size=(1, 4, 7)), jnp.float32
+    )
+    a_s = model.apply(
+        params, jax.random.PRNGKey(1), obs, num_steps=2, noise=noise,
+        method=model.sample_actions,
+    )
+    a_u = model_u.apply(
+        {"params": p_u}, jax.random.PRNGKey(1), obs, num_steps=2, noise=noise,
+        method=model_u.sample_actions,
+    )
+    np.testing.assert_allclose(np.asarray(a_u), np.asarray(a_s), rtol=0, atol=1e-5)
+
+    t_s = model.apply(
+        params, jax.random.PRNGKey(2), obs, max_decoding_steps=6,
+        method=model.sample_tokens,
+    )
+    t_u = model_u.apply(
+        {"params": p_u}, jax.random.PRNGKey(2), obs, max_decoding_steps=6,
+        method=model_u.sample_tokens,
+    )
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_u))
+
+
+def test_gemma3_quantized_sampling(gemma3_scanned, monkeypatch):
+    model, params = gemma3_scanned
+    monkeypatch.setattr(_lora, "QUANT_MIN_WEIGHT_ELEMS", 0)
+    cfg_q = dataclasses.replace(TINY3, scan_layers=False, quant="int8")
+    model_q = cfg_q.create_module()
+    p_u = _unstacked_params(params, TINY3.backbone_depth)
+    quant = _populate_quant(model_q, p_u)
+
+    flat = jax.tree_util.tree_flatten_with_path(quant)[0]
+    paths = ["/".join(str(k.key) for k in path) for path, _ in flat]
+    assert any("layers_0" in p and "gating_w_i8" in p for p in paths)
+    assert any("embedder" in p and "decode_w_i8" in p for p in paths)
+
+    obs = _obs3(TINY3)
+    noise = jnp.asarray(np.random.default_rng(9).normal(size=(1, 4, 7)), jnp.float32)
+    a_ref = model.apply(
+        params, jax.random.PRNGKey(1), obs, num_steps=2, noise=noise,
+        method=model.sample_actions,
+    )
+    a_q = model_q.apply(
+        {"params": p_u, "quant": quant}, jax.random.PRNGKey(1), obs, num_steps=2,
+        noise=noise, method=model_q.sample_actions,
+    )
+    np.testing.assert_allclose(np.asarray(a_q), np.asarray(a_ref), atol=0.15)
+    assert not np.array_equal(np.asarray(a_q), np.asarray(a_ref))
+
+    toks = model_q.apply(
+        {"params": p_u, "quant": quant}, jax.random.PRNGKey(2), obs,
+        max_decoding_steps=6, method=model_q.sample_tokens,
+    )
+    assert toks.shape == (1, 6)
