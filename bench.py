@@ -111,12 +111,19 @@ def _gemma3_cfg(on_tpu: bool):
 def _init_params(model, dtype):
     rng = jax.random.PRNGKey(0)
 
-    def cast(x):
-        # Keep integer leaves (the int8 "quant" collection) untouched.
-        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    def cast_variables(variables):
+        # Cast ONLY the params collection: the "quant" collection must keep
+        # its production dtypes (int8 weights AND float32 scales) so the
+        # benchmark measures exactly what serving executes.
+        return {
+            col: jax.tree.map(lambda x: x.astype(dtype), tree)
+            if col == "params"
+            else tree
+            for col, tree in variables.items()
+        }
 
     params = jax.jit(
-        lambda k: jax.tree.map(cast, model.init(k, k, method=model.init_params_fn))
+        lambda k: cast_variables(model.init(k, k, method=model.init_params_fn))
     )(rng)
     jax.block_until_ready(params)
     return params

@@ -135,21 +135,11 @@ class Embedder(nn.Module):
             nn.initializers.normal(),
             (self.vocab_size, self.embed_dim),
         )
-        if (
-            self.quant is not None
-            and self.vocab_size * self.embed_dim >= lora.QUANT_MIN_WEIGHT_ELEMS
-        ):
-            if self.quant != "int8":
-                raise ValueError(f"unknown quant mode: {self.quant}")
+        if lora.quant_enabled(self.quant, None, self.vocab_size * self.embed_dim):
             # Vocab projection for AR decode: [V, D] -> int8 [D, V]. At one
             # token/step this read is ~10% of the whole gemma_2b decode.
-            self._decode_w_i8 = self.variable(
-                "quant", "decode_w_i8",
-                lambda: lora._quant_pair(self.input_embedding_table, (1, 0), 1)[0],
-            )
-            self._decode_scale = self.variable(
-                "quant", "decode_scale",
-                lambda: lora._quant_pair(self.input_embedding_table, (1, 0), 1)[1],
+            self._decode_quant = lora.quant_vars(
+                self, "decode_", self.input_embedding_table, (1, 0), 1
             )
 
     def encode(self, tokens):
@@ -157,19 +147,15 @@ class Embedder(nn.Module):
         return x * jnp.sqrt(self.embed_dim).astype(x.dtype)
 
     def decode(self, x):
-        if self.quant is not None and hasattr(self, "_decode_w_i8"):
+        if self.quant is not None and hasattr(self, "_decode_quant"):
             rows = 1
             for d in x.shape[:-1]:
                 rows *= d
             if rows <= lora.QUANT_MAX_ROWS:
-                from lap_tpu.ops.int8_matmul import int8_matmul
-
-                y = int8_matmul(
-                    x.reshape(rows, self.embed_dim),
-                    self._decode_w_i8.value,
-                    self._decode_scale.value,
+                w_i8, scale = self._decode_quant
+                return lora.quant_matmul(
+                    x, w_i8, scale, (*x.shape[:-1], self.vocab_size)
                 )
-                return y.reshape(*x.shape[:-1], self.vocab_size)
         return jnp.dot(x, self.input_embedding_table.T)
 
 

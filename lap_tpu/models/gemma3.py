@@ -142,31 +142,17 @@ class FeedForward(nn.Module):
             (2, self.hidden_dim, self.features),
         )
         w_gating = w_gating_raw.astype(dtype)
-        quantize = (
-            self.quant is not None
-            and self.lora_config is None
-            and 2 * self.features * self.hidden_dim >= lora.QUANT_MIN_WEIGHT_ELEMS
+        quantize = lora.quant_enabled(
+            self.quant, self.lora_config, 2 * self.features * self.hidden_dim
         )
-        if quantize and self.quant != "int8":
-            raise ValueError(f"unknown quant mode: {self.quant}")
         if quantize:
             # [2, H, F] -> [F, 2H]: contraction-major for the int8 kernel.
-            g_i8 = self.variable(
-                "quant", "gating_w_i8",
-                lambda: lora._quant_pair(w_gating_raw, (2, 0, 1), 1)[0],
-            )
-            g_scale = self.variable(
-                "quant", "gating_scale",
-                lambda: lora._quant_pair(w_gating_raw, (2, 0, 1), 1)[1],
-            )
+            g_i8, g_scale = lora.quant_vars(self, "gating_", w_gating_raw, (2, 0, 1), 1)
         rows = _math.prod(x.shape[:-1])
         if quantize and rows <= lora.QUANT_MAX_ROWS:
-            from lap_tpu.ops.int8_matmul import int8_matmul
-
-            y2d = int8_matmul(
-                x.reshape(rows, self.features), g_i8.value, g_scale.value
+            gate_full = lora.quant_matmul(
+                x, g_i8, g_scale, (*x.shape[:-1], 2, self.hidden_dim)
             )
-            gate_full = y2d.reshape(*x.shape[:-1], 2, self.hidden_dim)
         else:
             gate_full = jnp.einsum("...F,GHF->...GH", x, w_gating)
         hidden = jax.nn.gelu(gate_full[..., 0, :]) * gate_full[..., 1, :]
@@ -175,20 +161,11 @@ class FeedForward(nn.Module):
         )
         w_linear = w_linear_raw.astype(dtype)
         if quantize:
-            l_i8 = self.variable(
-                "quant", "linear_w_i8",
-                lambda: lora._quant_pair(w_linear_raw, (0, 1), 1)[0],
-            )
-            l_scale = self.variable(
-                "quant", "linear_scale",
-                lambda: lora._quant_pair(w_linear_raw, (0, 1), 1)[1],
-            )
+            l_i8, l_scale = lora.quant_vars(self, "linear_", w_linear_raw, (0, 1), 1)
         if quantize and rows <= lora.QUANT_MAX_ROWS:
-            from lap_tpu.ops.int8_matmul import int8_matmul
-
-            out = int8_matmul(
-                hidden.reshape(rows, self.hidden_dim), l_i8.value, l_scale.value
-            ).reshape(*x.shape[:-1], self.features)
+            out = lora.quant_matmul(
+                hidden, l_i8, l_scale, (*x.shape[:-1], self.features)
+            )
         else:
             out = jnp.einsum("...H,HF->...F", hidden, w_linear)
         if self.lora_config is not None:

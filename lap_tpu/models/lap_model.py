@@ -803,8 +803,10 @@ class LAP(nn.Module):
         self.compute_loss(rng, obs, actions, train=False)
         # sample_tokens uses decode on the embedder (already created by
         # compute_loss's language path when enabled; force it otherwise).
+        # Width from the constructed backbone config: works for both the
+        # gemma and gemma3 variants (LAPGemma3 inherits this method).
         if not self.config.enable_langact_training:
-            self.llm.decode_logits(jnp.zeros((1, 1, _gemma.get_config(self.config.paligemma_variant).width)))
+            self.llm.decode_logits(jnp.zeros((1, 1, self.llm.configs[0].width)))
         return ()
 
 

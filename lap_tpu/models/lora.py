@@ -64,6 +64,43 @@ def _quant_pair(w_raw, w_perm, n_contract: int):
     return quantize_int8(wt.reshape(k, n), axis=0)
 
 
+def quant_enabled(quant: str | None, lora_config, n_weight_elems: int) -> bool:
+    """Shared quantization gate: mode valid, no unmerged adapters, and the
+    weight big enough that the kernel's fixed cost pays for itself."""
+    if quant is None:
+        return False
+    if quant != "int8":
+        raise ValueError(f"unknown quant mode: {quant}")
+    return lora_config is None and n_weight_elems >= QUANT_MIN_WEIGHT_ELEMS
+
+
+def quant_vars(mdl: nn.Module, prefix: str, w_raw, w_perm, n_contract: int):
+    """Declare (or read) the paired int8/scale variables for one weight.
+
+    The pair is computed at most once per call (memoized across the two
+    init lambdas — the eager populate pass would otherwise transpose and
+    quantize every large matrix twice)."""
+    memo: dict = {}
+
+    def pair(i: int):
+        if "p" not in memo:
+            memo["p"] = _quant_pair(w_raw, w_perm, n_contract)
+        return memo["p"][i]
+
+    name = f"{prefix}w_i8" if prefix else "w_i8"
+    sname = f"{prefix}scale" if prefix else "scale"
+    w_i8 = mdl.variable("quant", name, lambda: pair(0))
+    scale = mdl.variable("quant", sname, lambda: pair(1))
+    return w_i8.value, scale.value
+
+
+def quant_matmul(x, w_i8, scale, out_shape):
+    """Flatten-to-2D int8 matmul + reshape; caller guarantees row budget."""
+    k = w_i8.shape[0]
+    y2d = int8_matmul(x.reshape(-1, k), w_i8, scale)
+    return y2d.reshape(out_shape)
+
+
 @dataclasses.dataclass(frozen=True)
 class LoRAConfig:
     rank: int
@@ -112,29 +149,17 @@ class Einsum(nn.Module):
     def __call__(self, eqn: str, x):
         dtype = x.dtype
         w_raw = self.param("w", self.init_fn, self.shape)
-        w = w_raw.astype(dtype)
-        if (
-            self.quant is not None
-            and self.lora_config is None
-            and math.prod(self.shape) >= QUANT_MIN_WEIGHT_ELEMS
-        ):
-            if self.quant != "int8":
-                raise ValueError(f"unknown quant mode: {self.quant}")
+        if quant_enabled(self.quant, self.lora_config, math.prod(self.shape)):
             x_batch, contract, _w_out, w_perm, out_perm = _plan_quant_einsum(eqn)
-            w_i8 = self.variable(
-                "quant", "w_i8", lambda: _quant_pair(w_raw, w_perm, len(contract))[0]
-            )
-            scale = self.variable(
-                "quant", "scale", lambda: _quant_pair(w_raw, w_perm, len(contract))[1]
-            )
-            rows = math.prod(x.shape[: len(x_batch)])
-            if rows <= QUANT_MAX_ROWS:
-                k, n = w_i8.value.shape
-                y2d = int8_matmul(x.reshape(rows, k), w_i8.value, scale.value)
+            w_i8, scale = quant_vars(self, "", w_raw, w_perm, len(contract))
+            if math.prod(x.shape[: len(x_batch)]) <= QUANT_MAX_ROWS:
                 out_dims = x.shape[: len(x_batch)] + tuple(
                     w_raw.shape[p] for p in w_perm[len(contract) :]
                 )
-                return jnp.transpose(y2d.reshape(out_dims), out_perm)
+                return jnp.transpose(
+                    quant_matmul(x, w_i8, scale, out_dims), out_perm
+                )
+        w = w_raw.astype(dtype)
         out = jnp.einsum(eqn, x, w)
         if self.lora_config is not None:
             cfg = self.lora_config
@@ -174,25 +199,17 @@ class FeedForward(nn.Module):
             (2, self.features, self.hidden_dim),
         )
         w_gating = w_gating_raw.astype(dtype)
-        quantize = (
-            self.quant is not None
-            and self.lora_config is None
-            and 2 * self.features * self.hidden_dim >= QUANT_MIN_WEIGHT_ELEMS
+        quantize = quant_enabled(
+            self.quant, self.lora_config, 2 * self.features * self.hidden_dim
         )
-        if quantize and self.quant != "int8":
-            raise ValueError(f"unknown quant mode: {self.quant}")
         if quantize:
             # [2, D, F] -> [D, 2F] so both projections stream in one kernel.
-            g_i8 = self.variable(
-                "quant", "gating_w_i8", lambda: _quant_pair(w_gating_raw, (1, 0, 2), 1)[0]
-            )
-            g_scale = self.variable(
-                "quant", "gating_scale", lambda: _quant_pair(w_gating_raw, (1, 0, 2), 1)[1]
-            )
+            g_i8, g_scale = quant_vars(self, "gating_", w_gating_raw, (1, 0, 2), 1)
         rows = math.prod(x.shape[:-1])
         if quantize and rows <= QUANT_MAX_ROWS:
-            y2d = int8_matmul(x.reshape(rows, self.features), g_i8.value, g_scale.value)
-            gates = y2d.reshape(*x.shape[:-1], 2, self.hidden_dim)
+            gates = quant_matmul(
+                x, g_i8, g_scale, (*x.shape[:-1], 2, self.hidden_dim)
+            )
             gate_pre, up = gates[..., 0, :], gates[..., 1, :]
         else:
             # One einsum with the gate/up pair as a batch dim, NOT two dots on
@@ -224,16 +241,9 @@ class FeedForward(nn.Module):
         )
         w_linear = w_linear_raw.astype(dtype)
         if quantize:
-            l_i8 = self.variable(
-                "quant", "linear_w_i8", lambda: _quant_pair(w_linear_raw, (0, 1), 1)[0]
-            )
-            l_scale = self.variable(
-                "quant", "linear_scale", lambda: _quant_pair(w_linear_raw, (0, 1), 1)[1]
-            )
+            l_i8, l_scale = quant_vars(self, "linear_", w_linear_raw, (0, 1), 1)
         if quantize and rows <= QUANT_MAX_ROWS:
-            out = int8_matmul(
-                act.reshape(rows, self.hidden_dim), l_i8.value, l_scale.value
-            ).reshape(*x.shape[:-1], self.features)
+            out = quant_matmul(act, l_i8, l_scale, (*x.shape[:-1], self.features))
         else:
             out = act @ w_linear
         if self.lora_config is not None:

@@ -98,6 +98,10 @@ def int8_matmul(
 
     bn = block_n or _pick_block(n, (2048, 1024, 512, 256, 128))
     bk = block_k or _pick_block(kdim, (2048, 1024, 512, 256, 128))
+    if n % bn or kdim % bk:
+        # Non-divisible explicit blocks would floor-divide the grid and leave
+        # output columns unwritten (or skip the kernel entirely).
+        raise ValueError(f"block sizes must divide (K, N): {(bk, bn)} vs {(kdim, n)}")
     # Pad M to the sublane tile for the x dtype.
     m_tile = 16 if x.dtype == jnp.bfloat16 else 8
     m_pad = max(m_tile, -(-m // m_tile) * m_tile)

@@ -114,9 +114,13 @@ def _restore(train_config, checkpoint_dir: Path, *, quantize: str | None = None)
         from lap_tpu.models import gemma as _gemma
 
         p = dict(variables["params"])
-        p["llm"] = _gemma.unstack_layer_params(
-            dict(p["llm"]), model_cfg.backbone_depth
-        )
+        llm_stacked = dict(p["llm"])
+        p["llm"] = _gemma.unstack_layer_params(llm_stacked, model_cfg.backbone_depth)
+        # Drop every reference to the stacked layer tree before the quant
+        # population pass: holding both layouts alive doubles peak weight
+        # memory exactly when the int8 copies are being materialized.
+        llm_stacked.pop("layers", None)
+        del params, llm_stacked
         variables = {"params": p}
         _, qvars = jax.jit(
             lambda v, r: model.apply(

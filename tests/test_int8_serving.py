@@ -277,6 +277,14 @@ def test_create_trained_policy_quantized_end_to_end(tmp_path, monkeypatch):
     )
     assert np.isfinite(result["actions"]).all()
 
+    ar = policy_config.create_trained_policy_ar(
+        train_config, tmp_path, allow_test_vocab=True, quantize="int8",
+        max_decoding_steps=6,
+    )
+    assert "quant" in ar._params
+    ar_result = ar.infer(obs)
+    assert ar_result["policy_timing"]["infer_ms"] > 0
+
 
 TINY3 = LAPConfig(
     dtype="float32",
