@@ -1,0 +1,140 @@
+"""Micro-batching policy wrapper: serve several robots from one chip.
+
+The reference serves strictly one request at a time (lihzha/lap
+``serve_policy.py:92-107`` — one websocket handler, one jitted call per
+request). On TPU a batch-1 flow chunk is HBM weight-read bound, so a second
+concurrent request rides the same weight stream almost for free (measured on
+v5e: batch 1 = 32.3 Hz, batch 2 = 18.6 Hz *per request* — 15% more
+throughput per robot than time-slicing, and 2 robots per chip).
+
+``BatchingPolicy`` wraps a :class:`~lap_tpu.policies.policy.Policy` or
+``ARPolicy``. Host-side input transforms run on the caller's thread (they
+parallelize); transformed inputs are coalesced by a single worker into one
+batched device call. Batch sizes are padded up to a fixed bucket ladder so
+XLA compiles one executable per bucket, not per arrival pattern.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+from lap_tpu.policies.policy import BasePolicy
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class _Pending:
+    inputs: dict
+    future: Future
+    batch_size: int = 0
+
+
+class BatchingPolicy(BasePolicy):
+    """Coalesce concurrent ``infer`` calls into batched device calls.
+
+    Args:
+        policy: the wrapped Policy/ARPolicy (anything with ``_prepare`` and
+            ``_infer_prepared``).
+        max_batch: largest batch per device call.
+        window_ms: after the first request of a batch arrives, how long to
+            wait for companions. At robot control rates (15 Hz = 66 ms
+            period) a few ms collects every concurrently-pending request
+            without adding visible latency.
+    """
+
+    def __init__(self, policy, *, max_batch: int = 4, window_ms: float = 5.0):
+        super().__init__(metadata=policy.metadata)
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self._policy = policy
+        self._max_batch = max_batch
+        self._window_s = window_ms / 1000.0
+        self._buckets = [b for b in (1, 2, 4, 8, 16, 32) if b < max_batch]
+        self._buckets.append(max_batch)
+        self._queue: queue.Queue = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "largest_batch": 0}
+        self._worker = threading.Thread(
+            target=self._loop, name="lap-batcher", daemon=True
+        )
+        self._worker.start()
+
+    def infer(self, obs: dict) -> dict:
+        t_start = time.monotonic()
+        item = _Pending(self._policy._prepare(obs), Future())
+        self._queue.put(item)
+        result = item.future.result()
+        result["policy_timing"] = {
+            "infer_ms": (time.monotonic() - t_start) * 1000.0,
+            "batch_size": item.batch_size,
+        }
+        return result
+
+    def warmup(self, example_obs: dict) -> None:
+        """Pre-compile every bucket size (cold-start latency off the serving
+        path; first compile per shape is ~20-40 s on a tunnel-attached chip)."""
+        inputs = self._policy._prepare(dict(example_obs))
+        for b in self._buckets:
+            self._policy._infer_prepared([inputs] * b)
+            logger.info("warmed batch bucket %d", b)
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._worker.join(timeout=5.0)
+
+    # ------------------------------------------------------------------
+
+    def _collect(self, first: _Pending) -> list[_Pending] | None:
+        """Gather companions for up to window_ms, then drain instantly-
+        available ones. Returns None on shutdown sentinel."""
+        items = [first]
+        deadline = time.monotonic() + self._window_s
+        while len(items) < self._max_batch:
+            timeout = deadline - time.monotonic()
+            try:
+                nxt = (
+                    self._queue.get(timeout=timeout)
+                    if timeout > 0
+                    else self._queue.get_nowait()
+                )
+            except queue.Empty:
+                break
+            if nxt is None:
+                # Shutdown: flush what we have, then stop.
+                self._run_batch(items)
+                return None
+            items.append(nxt)
+        return items
+
+    def _run_batch(self, items: list[_Pending]) -> None:
+        bucket = next(b for b in self._buckets if b >= len(items))
+        inputs_list = [it.inputs for it in items]
+        # Pad with a copy of the last request; padded rows are dropped.
+        inputs_list += [items[-1].inputs] * (bucket - len(items))
+        self.stats["requests"] += len(items)
+        self.stats["batches"] += 1
+        self.stats["largest_batch"] = max(self.stats["largest_batch"], len(items))
+        try:
+            results = self._policy._infer_prepared(inputs_list)
+        except BaseException as e:  # noqa: BLE001 - must not kill the worker
+            for it in items:
+                it.future.set_exception(e)
+            return
+        for it, result in zip(items, results):
+            it.batch_size = len(items)
+            it.future.set_result(result)
+
+    def _loop(self) -> None:
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            items = self._collect(first)
+            if items is None:
+                return
+            self._run_batch(items)

@@ -28,6 +28,17 @@ def _make_batch(data: dict) -> dict:
     return jax.tree.map(lambda x: np.asarray(x)[None, ...], data)
 
 
+def _stack_batch(inputs_list: list[dict]) -> dict:
+    """Stack K transformed-input dicts into one batch-K dict.
+
+    All requests flow through the same transform stack, which pads tokens to
+    ``max_token_len`` and resizes images to a fixed resolution, so every
+    leaf has identical shape across requests."""
+    return jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *inputs_list
+    )
+
+
 def _unbatch(data):
     return jax.tree.map(lambda x: np.asarray(x)[0, ...], data)
 
@@ -85,21 +96,35 @@ class Policy(BasePolicy):
 
     def infer(self, obs: dict) -> dict:
         t_start = time.monotonic()
-        inputs = self._input(dict(obs))
-        batch = _make_batch(inputs)
-        observation = CoTObservation.from_dict(batch)
-        actions = self._sample(self._params, self._rng, self._next_step(), observation)
-        outputs = {
-            "state": np.asarray(batch["state"])[0],
-            "actions": np.asarray(actions)[0],
-        }
-        if "raw_state" in inputs:
-            outputs["raw_state"] = np.asarray(inputs["raw_state"])
-        result = self._output(outputs)
+        result = self._infer_prepared([self._prepare(obs)])[0]
         result["policy_timing"] = {
             "infer_ms": (time.monotonic() - t_start) * 1000.0
         }
         return result
+
+    def _prepare(self, obs: dict) -> dict:
+        """Host-side input transforms for one request (thread-safe)."""
+        return self._input(dict(obs))
+
+    def _infer_prepared(self, inputs_list: list[dict]) -> list[dict]:
+        """One batched device call over K prepared requests.
+
+        All rows share one sampling key fold; each row draws its own noise
+        slice from the batched shape, so requests in a batch stay
+        independently sampled."""
+        batch = _stack_batch(inputs_list)
+        observation = CoTObservation.from_dict(batch)
+        actions = np.asarray(
+            self._sample(self._params, self._rng, self._next_step(), observation)
+        )
+        state = np.asarray(batch["state"])
+        results = []
+        for i, inputs in enumerate(inputs_list):
+            outputs = {"state": state[i], "actions": actions[i]}
+            if "raw_state" in inputs:
+                outputs["raw_state"] = np.asarray(inputs["raw_state"])
+            results.append(self._output(outputs))
+        return results
 
 
 class ARPolicy(BasePolicy):
@@ -138,21 +163,31 @@ class ARPolicy(BasePolicy):
 
     def infer(self, obs: dict) -> dict:
         t_start = time.monotonic()
-        inputs = self._input(dict(obs))
-        batch = _make_batch(inputs)
-        observation = CoTObservation.from_dict(batch)
-        tokens = self._sample(self._params, self._rng, self._next_step(), observation)
-        outputs = {
-            "state": np.asarray(batch["state"])[0],
-            "tokens": np.asarray(tokens),
-        }
-        if "raw_state" in inputs:
-            outputs["raw_state"] = np.asarray(inputs["raw_state"])
-        result = self._output(outputs)
+        result = self._infer_prepared([self._prepare(obs)])[0]
         result["policy_timing"] = {
             "infer_ms": (time.monotonic() - t_start) * 1000.0
         }
         return result
+
+    def _prepare(self, obs: dict) -> dict:
+        """Host-side input transforms for one request (thread-safe)."""
+        return self._input(dict(obs))
+
+    def _infer_prepared(self, inputs_list: list[dict]) -> list[dict]:
+        """One batched greedy/temperature decode over K prepared requests."""
+        batch = _stack_batch(inputs_list)
+        observation = CoTObservation.from_dict(batch)
+        tokens = np.asarray(
+            self._sample(self._params, self._rng, self._next_step(), observation)
+        )
+        state = np.asarray(batch["state"])
+        results = []
+        for i, inputs in enumerate(inputs_list):
+            outputs = {"state": state[i], "tokens": tokens[i : i + 1]}
+            if "raw_state" in inputs:
+                outputs["raw_state"] = np.asarray(inputs["raw_state"])
+            results.append(self._output(outputs))
+        return results
 
 
 class PolicyRecorder(BasePolicy):
@@ -164,15 +199,20 @@ class PolicyRecorder(BasePolicy):
         self._record_dir = pathlib.Path(record_dir)
         self._record_dir.mkdir(parents=True, exist_ok=True)
         self._count = 0
+        self._count_lock = threading.Lock()
 
     def infer(self, obs: dict) -> dict:
         result = self._policy.infer(obs)
-        path = self._record_dir / f"step_{self._count:06d}.npz"
+        # Concurrent clients (threaded server / batched serving) must not
+        # reuse a record slot.
+        with self._count_lock:
+            idx = self._count
+            self._count += 1
+        path = self._record_dir / f"step_{idx:06d}.npz"
         flat = {}
         for prefix, tree in (("obs", obs), ("out", result)):
             for k, v in tree.items():
                 if isinstance(v, (np.ndarray, int, float, str, bool)):
                     flat[f"{prefix}/{k}"] = np.asarray(v)
         np.savez(path, **flat)
-        self._count += 1
         return result

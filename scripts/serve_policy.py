@@ -117,6 +117,17 @@ def main():
         "~2x decode bandwidth for ~0.4%% per-matmul weight rounding",
     )
     parser.add_argument(
+        "--max_batch", type=int, default=1,
+        help="serve up to N concurrent robots per batched device call "
+        "(batch-1 inference is HBM-bound; a second request rides the same "
+        "weight stream). 1 = reference behavior, no batching layer",
+    )
+    parser.add_argument(
+        "--batch_window_ms", type=float, default=5.0,
+        help="after a request arrives, wait this long for companions "
+        "before launching the batch (only with --max_batch > 1)",
+    )
+    parser.add_argument(
         "--allow_test_vocab", action="store_true",
         help="serve a checkpoint through the built-in test vocabulary "
         "(ONLY for fabricated test checkpoints; real checkpoints need "
@@ -125,6 +136,12 @@ def main():
     args = parser.parse_args()
 
     policy = create_policy(args)
+    if args.max_batch > 1:
+        from lap_tpu.policies.batching import BatchingPolicy
+
+        policy = BatchingPolicy(
+            policy, max_batch=args.max_batch, window_ms=args.batch_window_ms
+        )
     if args.record_dir:
         from lap_tpu.policies.policy import PolicyRecorder
 

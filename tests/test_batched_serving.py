@@ -1,0 +1,160 @@
+"""Micro-batched serving: BatchingPolicy coalesces concurrent requests.
+
+Beyond-reference feature (the reference serves one request per jitted call,
+``serve_policy.py:92-107``); batch-1 flow inference is HBM weight-read bound
+on TPU so concurrent robots ride the same weight stream.
+"""
+
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from lap_tpu.policies.batching import BatchingPolicy
+
+from tests.test_serving import TINY, _build_ar_policy, _build_policy, _obs
+
+
+def _obs_with_state(value: float):
+    o = _obs()
+    o["observation"]["state"] = np.full(7, value, np.float32)
+    return o
+
+
+def test_concurrent_requests_coalesce_and_route_correctly():
+    policy = _build_policy()
+    batcher = BatchingPolicy(policy, max_batch=4, window_ms=300.0)
+    try:
+        batcher.warmup(_obs())
+
+        def one(i):
+            return i, batcher.infer(_obs_with_state(float(i) / 10.0))
+
+        with ThreadPoolExecutor(4) as ex:
+            results = dict(ex.map(one, range(4)))
+        for i, r in results.items():
+            # State passthrough proves no row mixup inside the batch.
+            np.testing.assert_allclose(
+                r["state"][:7], np.full(7, i / 10.0), rtol=1e-5
+            )
+            assert r["actions"].shape == (TINY.action_horizon, TINY.action_dim)
+            assert np.isfinite(r["actions"]).all()
+            assert r["policy_timing"]["infer_ms"] > 0
+        # The 4 requests ran in at most 2 device calls (plus 3 warmup calls).
+        assert batcher.stats["requests"] == 4
+        assert batcher.stats["largest_batch"] >= 2
+        sizes = {r["policy_timing"]["batch_size"] for r in results.values()}
+        assert max(sizes) >= 2
+    finally:
+        batcher.close()
+
+
+def test_same_batch_rows_sample_independent_noise():
+    policy = _build_policy()
+    batcher = BatchingPolicy(policy, max_batch=2, window_ms=300.0)
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            a, b = list(ex.map(lambda _: batcher.infer(_obs()), range(2)))
+        if a["policy_timing"]["batch_size"] == 2:
+            # Identical observations in one batch: each row must draw its own
+            # noise slice, not share the first row's sample.
+            assert not np.allclose(a["actions"], b["actions"])
+    finally:
+        batcher.close()
+
+
+def test_padding_to_bucket_drops_padded_rows():
+    policy = _build_policy()
+    batcher = BatchingPolicy(policy, max_batch=4, window_ms=300.0)
+    try:
+        with ThreadPoolExecutor(3) as ex:
+            results = list(
+                ex.map(lambda i: batcher.infer(_obs_with_state(i / 10.0)), range(3))
+            )
+        assert len(results) == 3
+        for i, r in enumerate(results):
+            np.testing.assert_allclose(
+                r["state"][:7], np.full(7, i / 10.0), rtol=1e-5
+            )
+        # 3 requests pad up to the 4-bucket: exactly one device call.
+        if batcher.stats["largest_batch"] == 3:
+            assert batcher.stats["batches"] == 1
+    finally:
+        batcher.close()
+
+
+def test_ar_greedy_batched_matches_direct():
+    """Greedy (temperature 0) decode is input-deterministic: the batched
+    path must produce the same parsed result as a direct infer."""
+    policy = _build_ar_policy()
+    direct = policy.infer(_obs())
+    batcher = BatchingPolicy(policy, max_batch=2, window_ms=200.0)
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            results = list(ex.map(lambda _: batcher.infer(_obs()), range(2)))
+        for r in results:
+            np.testing.assert_allclose(
+                np.asarray(r["actions"]), np.asarray(direct["actions"]), atol=1e-5
+            )
+            assert r.get("reasoning", "") == direct.get("reasoning", "")
+    finally:
+        batcher.close()
+
+
+def test_bad_request_error_propagates_to_caller():
+    policy = _build_policy()
+    batcher = BatchingPolicy(policy, max_batch=2, window_ms=10.0)
+    try:
+        bad = _obs()
+        del bad["observation"]["state"]
+        with pytest.raises(Exception):
+            batcher.infer(bad)
+        # The worker survives a failed batch: a good request still completes.
+        r = batcher.infer(_obs())
+        assert np.isfinite(r["actions"]).all()
+    finally:
+        batcher.close()
+
+
+def test_batched_policy_over_websocket_two_clients():
+    from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
+    from lap_tpu.serving.websocket_policy_server import WebsocketPolicyServer
+
+    policy = _build_policy()
+    batcher = BatchingPolicy(policy, max_batch=2, window_ms=100.0)
+    server = WebsocketPolicyServer(batcher, host="127.0.0.1", port=18476)
+
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.run())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(0.5)
+
+    def one_client(n):
+        client = WebsocketClientPolicy(host="127.0.0.1", port=18476)
+        outs = [client.infer(_obs()) for _ in range(n)]
+        client.close()
+        return outs
+
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(one_client, 3) for _ in range(2)]
+            results = [f.result() for f in futs]
+        for outs in results:
+            for r in outs:
+                assert np.isfinite(r["actions"]).all()
+        assert batcher.stats["requests"] == 6
+        # With two clients hammering and a 100 ms window, at least one
+        # device call must have coalesced both.
+        assert batcher.stats["largest_batch"] == 2
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+        batcher.close()

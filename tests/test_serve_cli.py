@@ -77,3 +77,66 @@ def test_serve_policy_cli_debug(tmp_path):
     finally:
         proc.send_signal(signal.SIGKILL)
         proc.wait(timeout=30)
+
+
+def test_serve_policy_cli_batched():
+    """--max_batch 2: two concurrent clients through the micro-batcher."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
+
+    port = _free_port()
+    proc = subprocess.Popen(
+        [
+            sys.executable, "scripts/serve_policy.py",
+            "--env", "DEBUG", "--host", "127.0.0.1", "--port", str(port),
+            "--max_batch", "2", "--batch_window_ms", "100",
+            "--default_prompt", "pick up the block",
+        ],
+        cwd=REPO, env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        client = None
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(f"server died:\n{proc.stdout.read()[-3000:]}")
+            try:
+                client = WebsocketClientPolicy(host="127.0.0.1", port=port)
+                break
+            except Exception:  # noqa: BLE001 - still booting
+                time.sleep(1.0)
+        assert client is not None, "server never became reachable"
+
+        rng = np.random.default_rng(0)
+        obs = {
+            "observation": {
+                "base_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
+                "left_wrist_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
+                "state": np.zeros(7, np.float32),
+            },
+            "prompt": "pick up the cup",
+        }
+
+        def one_client(n):
+            c = WebsocketClientPolicy(host="127.0.0.1", port=port)
+            outs = [c.infer(obs) for _ in range(n)]
+            c.close()
+            return outs
+
+        client.close()
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(one_client, 3) for _ in range(2)]
+            results = [f.result() for f in futs]
+        batch_sizes = []
+        for outs in results:
+            for r in outs:
+                assert np.isfinite(r["actions"]).all()
+                batch_sizes.append(r["policy_timing"]["batch_size"])
+        # Two clients in lockstep with a 100 ms window: at least one call
+        # must have coalesced both requests.
+        assert max(batch_sizes) == 2
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
