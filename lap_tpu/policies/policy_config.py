@@ -82,13 +82,23 @@ def _require_real_tokenizer(stacks, *, allow_test_vocab: bool):
                 )
 
 
-def _restore(train_config, checkpoint_dir: Path, *, quantize: str | None = None):
+def _restore(
+    train_config,
+    checkpoint_dir: Path,
+    *,
+    quantize: str | None = None,
+    tp: int = 1,
+):
     from lap_tpu.training.checkpoints import restore_params
 
+    if tp > 1 and quantize is not None:
+        raise ValueError(
+            "int8 quantized serving is single-chip (the Pallas dequant-matmul "
+            "is not GSPMD-partitioned); use tp=1 or quantize=None"
+        )
     # Inference always runs the model in bf16 on TPU (reference
     # policy_config_adapter loads params via model.load in the model dtype).
     dtype = jnp.bfloat16 if train_config.model.dtype == "bfloat16" else jnp.float32
-    params = restore_params(checkpoint_dir / "params", dtype=dtype)
     # Inference disables the training-only stop-gradient (serve_policy.py:77)
     # and fully unrolls the layer scan: straight-line decode lets XLA overlap
     # weight prefetch across layers/steps (LAP-3B: 28.9 -> 32.3 Hz on v5e).
@@ -107,6 +117,30 @@ def _restore(train_config, checkpoint_dir: Path, *, quantize: str | None = None)
         overrides.update(quant=quantize, scan_layers=False, scan_unroll=1)
     model_cfg = dataclasses.replace(train_config.model, **overrides)
     model = model_cfg.create_module()
+    if tp > 1:
+        # Tensor-parallel serving: models larger than one chip's HBM
+        # (gemma3_12b/27b, or 4B at bf16+activations) shard attention heads
+        # and MLP hidden dims over a tp-axis mesh (DEFAULT_TP_RULES); GSPMD
+        # inserts the ICI collectives. The checkpoint restores DIRECTLY onto
+        # the device shardings -- the full model never stages in host RAM.
+        import jax
+
+        from lap_tpu.parallel.mesh import make_mesh
+        from lap_tpu.parallel.sharding import fsdp_sharding
+        from lap_tpu.training.checkpoints import restore_params_sharded
+
+        mesh = make_mesh(fsdp_devices=1, tp_devices=tp)
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, k, method=model.init_params_fn),
+            jax.random.PRNGKey(0),
+        )["params"]
+        sharding_tree = fsdp_sharding(shapes, mesh)
+        params = restore_params_sharded(checkpoint_dir / "params", sharding_tree)
+        params = jax.jit(
+            lambda p: jax.tree.map(lambda x: x.astype(dtype), p)
+        )(params)
+        return model, {"params": params}
+    params = restore_params(checkpoint_dir / "params", dtype=dtype)
     variables = {"params": params} if "params" not in params else params
     if quantize is not None:
         import jax
@@ -139,6 +173,7 @@ def create_trained_policy(
     num_steps: int = 10,
     allow_test_vocab: bool = False,
     quantize: str | None = None,
+    tp: int = 1,
 ) -> Policy:
     checkpoint_dir = Path(checkpoint_dir)
     # Stacks + tokenizer guard FIRST: they need only the config and cheap
@@ -149,7 +184,7 @@ def create_trained_policy(
         train_config, norm_stats, default_prompt=default_prompt, ar=False
     )
     _require_real_tokenizer([inputs, outputs], allow_test_vocab=allow_test_vocab)
-    model, params = _restore(train_config, checkpoint_dir, quantize=quantize)
+    model, params = _restore(train_config, checkpoint_dir, quantize=quantize, tp=tp)
     return Policy(
         model,
         params,
@@ -169,6 +204,7 @@ def create_trained_policy_ar(
     temperature: float = 0.0,
     allow_test_vocab: bool = False,
     quantize: str | None = None,
+    tp: int = 1,
 ) -> ARPolicy:
     checkpoint_dir = Path(checkpoint_dir)
     norm_stats = _load_norm_stats(checkpoint_dir, train_config.data.asset_id)
@@ -176,7 +212,7 @@ def create_trained_policy_ar(
         train_config, norm_stats, default_prompt=default_prompt, ar=True
     )
     _require_real_tokenizer([inputs, outputs], allow_test_vocab=allow_test_vocab)
-    model, params = _restore(train_config, checkpoint_dir, quantize=quantize)
+    model, params = _restore(train_config, checkpoint_dir, quantize=quantize, tp=tp)
     return ARPolicy(
         model,
         params,

@@ -81,10 +81,12 @@ def create_policy(args):
         return policy_config.create_trained_policy_ar(
             train_config, checkpoint_dir, default_prompt=args.default_prompt,
             allow_test_vocab=args.allow_test_vocab, quantize=args.quantize,
+            tp=args.serve_tp,
         )
     return policy_config.create_trained_policy(
         train_config, checkpoint_dir, default_prompt=args.default_prompt,
         allow_test_vocab=args.allow_test_vocab, quantize=args.quantize,
+        tp=args.serve_tp,
     )
 
 
@@ -115,6 +117,13 @@ def main():
         "--quantize", default=None, choices=["int8"],
         help="weight-only int8 on the decode path (prefill stays bf16): "
         "~2x decode bandwidth for ~0.4%% per-matmul weight rounding",
+    )
+    parser.add_argument(
+        "--serve_tp", type=int, default=1,
+        help="tensor-parallel serving over N chips (attention heads + MLP "
+        "hidden dims sharded over a tp mesh axis; checkpoint restores "
+        "directly onto device shardings). For models larger than one "
+        "chip's HBM (gemma3_12b/27b). 1 = single-chip",
     )
     parser.add_argument(
         "--max_batch", type=int, default=1,

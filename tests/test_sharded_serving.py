@@ -1,0 +1,117 @@
+"""Tensor-parallel serving: restore sharded onto a tp mesh, match single-chip.
+
+Beyond-reference capability (the reference serves on exactly one
+device/process, ``policy_config_adapter.py:85-160``): models larger than one
+chip's HBM (gemma3_12b/27b) shard attention heads and MLP hidden dims over a
+tp mesh axis; GSPMD inserts the ICI collectives. Validated on the virtual
+8-device CPU mesh (conftest).
+"""
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+import pytest
+
+from lap_tpu.policies import policy_config
+from lap_tpu.training import config as config_mod
+
+
+@pytest.fixture(scope="module")
+def debug_ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tp_ckpt")
+    train_config = config_mod.get_config("debug")
+    model = train_config.model.create_module()
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+    )["params"]
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save((tmp / "params").resolve(), {"params": params})
+    return train_config, tmp
+
+
+def _obs():
+    img = np.random.default_rng(0).integers(0, 255, (56, 56, 3), np.uint8)
+    return {
+        "observation": {
+            "base_0_rgb": img,
+            "left_wrist_0_rgb": img,
+            "state": np.linspace(-0.5, 0.5, 7).astype(np.float32),
+        },
+        "prompt": "pick up the cup",
+    }
+
+
+def _tp_specs(params):
+    return [
+        str(x.sharding.spec)
+        for x in jax.tree.leaves(params)
+        if hasattr(x, "sharding") and hasattr(x.sharding, "spec")
+    ]
+
+
+def test_tp_flow_policy_matches_single_chip(debug_ckpt):
+    train_config, ckpt = debug_ckpt
+    p1 = policy_config.create_trained_policy(
+        train_config, ckpt, allow_test_vocab=True, num_steps=2
+    )
+    p2 = policy_config.create_trained_policy(
+        train_config, ckpt, allow_test_vocab=True, num_steps=2, tp=2
+    )
+    specs = _tp_specs(p2._params)
+    assert any("tp" in s for s in specs), f"no tp-sharded param:\n{specs[:8]}"
+
+    r1 = p1.infer(_obs())
+    r2 = p2.infer(_obs())
+    # Same base rng + same per-policy step counter (both first calls) and
+    # partitionable threefry: identical noise regardless of sharding. The
+    # only difference is matmul partitioning (float32 on CPU).
+    np.testing.assert_allclose(r1["actions"], r2["actions"], rtol=1e-4, atol=1e-4)
+    assert np.isfinite(r2["actions"]).all()
+
+
+def test_tp_ar_policy_greedy_matches_single_chip(debug_ckpt):
+    train_config, ckpt = debug_ckpt
+    p1 = policy_config.create_trained_policy_ar(
+        train_config, ckpt, allow_test_vocab=True, max_decoding_steps=6
+    )
+    p2 = policy_config.create_trained_policy_ar(
+        train_config, ckpt, allow_test_vocab=True, max_decoding_steps=6, tp=2
+    )
+    assert any("tp" in s for s in _tp_specs(p2._params))
+    r1 = p1.infer(_obs())
+    r2 = p2.infer(_obs())
+    # Greedy decode is input-deterministic; the parsed result must agree.
+    np.testing.assert_allclose(
+        np.asarray(r1["actions"]), np.asarray(r2["actions"]), atol=1e-5
+    )
+    assert r1.get("reasoning", "") == r2.get("reasoning", "")
+
+
+def test_tp_rejects_quantize(debug_ckpt):
+    train_config, ckpt = debug_ckpt
+    with pytest.raises(ValueError, match="single-chip"):
+        policy_config.create_trained_policy(
+            train_config, ckpt, allow_test_vocab=True, quantize="int8", tp=2
+        )
+
+
+def test_tp_composes_with_micro_batching(debug_ckpt):
+    """The two serving multipliers stack: tp-sharded model + request
+    coalescing."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lap_tpu.policies.batching import BatchingPolicy
+
+    train_config, ckpt = debug_ckpt
+    policy = policy_config.create_trained_policy(
+        train_config, ckpt, allow_test_vocab=True, num_steps=2, tp=2
+    )
+    batcher = BatchingPolicy(policy, max_batch=2, window_ms=200.0)
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            results = list(ex.map(lambda _: batcher.infer(_obs()), range(2)))
+        for r in results:
+            assert np.isfinite(r["actions"]).all()
+        assert batcher.stats["requests"] == 2
+    finally:
+        batcher.close()
