@@ -763,6 +763,11 @@ class LAP(nn.Module):
                 ).astype(jnp.int32),
                 lambda: jnp.argmax(last_logit, axis=-1).astype(jnp.int32),
             )
+            # Rows that already emitted EOS write 0 (matching the unwritten
+            # trailing slots of a row that finishes last): with batch > 1 the
+            # loop runs until EVERY row finishes, and unmasked writes would
+            # fill early-finishing rows with post-EOS continuation text.
+            token = jnp.where(eos_mask[:, None], jnp.zeros_like(token), token)
             output_tokens = put_along_last_axis(
                 output_tokens, jnp.broadcast_to(step_i, (b, 1)), token
             )

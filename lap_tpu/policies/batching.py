@@ -23,6 +23,9 @@ import threading
 import time
 from concurrent.futures import Future
 
+import jax
+import numpy as np
+
 from lap_tpu.policies.policy import BasePolicy
 
 logger = logging.getLogger(__name__)
@@ -33,6 +36,19 @@ class _Pending:
     inputs: dict
     future: Future
     batch_size: int = 0
+
+
+def _signature(inputs: dict):
+    """Tree structure + leaf shapes/dtypes: only like-shaped requests can
+    stack into one device batch. String-ish leaves group by dtype KIND, not
+    exact width — different prompt texts must still coalesce."""
+    leaves, treedef = jax.tree_util.tree_flatten(inputs)
+    sig = []
+    for x in leaves:
+        a = np.asarray(x)
+        dt = a.dtype.kind if a.dtype.kind in ("U", "S", "O") else str(a.dtype)
+        sig.append((a.shape, dt))
+    return treedef, tuple(sig)
 
 
 class BatchingPolicy(BasePolicy):
@@ -46,9 +62,20 @@ class BatchingPolicy(BasePolicy):
             wait for companions. At robot control rates (15 Hz = 66 ms
             period) a few ms collects every concurrently-pending request
             without adding visible latency.
+        background_warmup: after the first request completes, compile the
+            remaining bucket sizes in a background thread (using that
+            request's inputs as the template) so a robot never stalls on a
+            ~20-40 s XLA compile when a companion first coalesces.
     """
 
-    def __init__(self, policy, *, max_batch: int = 4, window_ms: float = 5.0):
+    def __init__(
+        self,
+        policy,
+        *,
+        max_batch: int = 4,
+        window_ms: float = 5.0,
+        background_warmup: bool = True,
+    ):
         super().__init__(metadata=policy.metadata)
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
@@ -58,6 +85,9 @@ class BatchingPolicy(BasePolicy):
         self._buckets = [b for b in (1, 2, 4, 8, 16, 32) if b < max_batch]
         self._buckets.append(max_batch)
         self._queue: queue.Queue = queue.Queue()
+        self._closed = False
+        self._background_warmup = background_warmup
+        self._warmup_started = False
         self.stats = {"requests": 0, "batches": 0, "largest_batch": 0}
         self._worker = threading.Thread(
             target=self._loop, name="lap-batcher", daemon=True
@@ -65,6 +95,8 @@ class BatchingPolicy(BasePolicy):
         self._worker.start()
 
     def infer(self, obs: dict) -> dict:
+        if self._closed:
+            raise RuntimeError("BatchingPolicy is closed")
         t_start = time.monotonic()
         item = _Pending(self._policy._prepare(obs), Future())
         self._queue.put(item)
@@ -78,14 +110,25 @@ class BatchingPolicy(BasePolicy):
     def warmup(self, example_obs: dict) -> None:
         """Pre-compile every bucket size (cold-start latency off the serving
         path; first compile per shape is ~20-40 s on a tunnel-attached chip)."""
+        self._warmup_started = True
         inputs = self._policy._prepare(dict(example_obs))
         for b in self._buckets:
-            self._policy._infer_prepared([inputs] * b)
+            self._policy._infer_prepared([inputs] * b, n_results=1)
             logger.info("warmed batch bucket %d", b)
 
     def close(self) -> None:
+        self._closed = True
         self._queue.put(None)
-        self._worker.join(timeout=5.0)
+        self._worker.join(timeout=30.0)
+        # Fail anything that raced past the closed check; nothing will
+        # serve it now.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.future.set_exception(RuntimeError("BatchingPolicy closed"))
 
     # ------------------------------------------------------------------
 
@@ -106,21 +149,37 @@ class BatchingPolicy(BasePolicy):
                 break
             if nxt is None:
                 # Shutdown: flush what we have, then stop.
-                self._run_batch(items)
+                self._dispatch(items)
                 return None
             items.append(nxt)
         return items
 
+    def _dispatch(self, items: list[_Pending]) -> None:
+        """Group like-shaped requests and run each group as one batch: a
+        malformed/odd-shaped request must fail alone, not poison (and, via
+        the server's error handling, disconnect) healthy companions."""
+        groups: dict = {}
+        for it in items:
+            try:
+                key = _signature(it.inputs)
+            except Exception as e:  # noqa: BLE001 - unhashable/odd leaf
+                it.future.set_exception(e)
+                continue
+            groups.setdefault(key, []).append(it)
+        for group in groups.values():
+            self._run_batch(group)
+
     def _run_batch(self, items: list[_Pending]) -> None:
         bucket = next(b for b in self._buckets if b >= len(items))
         inputs_list = [it.inputs for it in items]
-        # Pad with a copy of the last request; padded rows are dropped.
+        # Pad with a copy of the last request; padded rows are dropped
+        # before the per-row output transforms run.
         inputs_list += [items[-1].inputs] * (bucket - len(items))
         self.stats["requests"] += len(items)
         self.stats["batches"] += 1
         self.stats["largest_batch"] = max(self.stats["largest_batch"], len(items))
         try:
-            results = self._policy._infer_prepared(inputs_list)
+            results = self._policy._infer_prepared(inputs_list, n_results=len(items))
         except BaseException as e:  # noqa: BLE001 - must not kill the worker
             for it in items:
                 it.future.set_exception(e)
@@ -128,6 +187,25 @@ class BatchingPolicy(BasePolicy):
         for it, result in zip(items, results):
             it.batch_size = len(items)
             it.future.set_result(result)
+        if self._background_warmup and not self._warmup_started:
+            self._warmup_started = True
+            threading.Thread(
+                target=self._warm_remaining,
+                args=(items[-1].inputs,),
+                name="lap-batcher-warmup",
+                daemon=True,
+            ).start()
+
+    def _warm_remaining(self, template: dict) -> None:
+        for b in self._buckets:
+            if self._closed:
+                return
+            try:
+                self._policy._infer_prepared([template] * b, n_results=1)
+                logger.info("background-warmed batch bucket %d", b)
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                logger.exception("bucket %d warmup failed", b)
+                return
 
     def _loop(self) -> None:
         while True:
@@ -137,4 +215,4 @@ class BatchingPolicy(BasePolicy):
             items = self._collect(first)
             if items is None:
                 return
-            self._run_batch(items)
+            self._dispatch(items)

@@ -24,10 +24,6 @@ from lap_tpu.policies.model_transforms import compose
 logger = logging.getLogger(__name__)
 
 
-def _make_batch(data: dict) -> dict:
-    return jax.tree.map(lambda x: np.asarray(x)[None, ...], data)
-
-
 def _stack_batch(inputs_list: list[dict]) -> dict:
     """Stack K transformed-input dicts into one batch-K dict.
 
@@ -37,10 +33,6 @@ def _stack_batch(inputs_list: list[dict]) -> dict:
     return jax.tree.map(
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *inputs_list
     )
-
-
-def _unbatch(data):
-    return jax.tree.map(lambda x: np.asarray(x)[0, ...], data)
 
 
 class BasePolicy:
@@ -106,12 +98,16 @@ class Policy(BasePolicy):
         """Host-side input transforms for one request (thread-safe)."""
         return self._input(dict(obs))
 
-    def _infer_prepared(self, inputs_list: list[dict]) -> list[dict]:
+    def _infer_prepared(
+        self, inputs_list: list[dict], n_results: int | None = None
+    ) -> list[dict]:
         """One batched device call over K prepared requests.
 
         All rows share one sampling key fold; each row draws its own noise
         slice from the batched shape, so requests in a batch stay
-        independently sampled."""
+        independently sampled. ``n_results`` limits the (host-side) per-row
+        output transforms to the first N rows — the batcher's bucket-padding
+        rows never pay the transform cost."""
         batch = _stack_batch(inputs_list)
         observation = CoTObservation.from_dict(batch)
         actions = np.asarray(
@@ -119,7 +115,7 @@ class Policy(BasePolicy):
         )
         state = np.asarray(batch["state"])
         results = []
-        for i, inputs in enumerate(inputs_list):
+        for i, inputs in enumerate(inputs_list[:n_results]):
             outputs = {"state": state[i], "actions": actions[i]}
             if "raw_state" in inputs:
                 outputs["raw_state"] = np.asarray(inputs["raw_state"])
@@ -173,8 +169,11 @@ class ARPolicy(BasePolicy):
         """Host-side input transforms for one request (thread-safe)."""
         return self._input(dict(obs))
 
-    def _infer_prepared(self, inputs_list: list[dict]) -> list[dict]:
-        """One batched greedy/temperature decode over K prepared requests."""
+    def _infer_prepared(
+        self, inputs_list: list[dict], n_results: int | None = None
+    ) -> list[dict]:
+        """One batched greedy/temperature decode over K prepared requests.
+        ``n_results``: see Policy._infer_prepared."""
         batch = _stack_batch(inputs_list)
         observation = CoTObservation.from_dict(batch)
         tokens = np.asarray(
@@ -182,7 +181,7 @@ class ARPolicy(BasePolicy):
         )
         state = np.asarray(batch["state"])
         results = []
-        for i, inputs in enumerate(inputs_list):
+        for i, inputs in enumerate(inputs_list[:n_results]):
             outputs = {"state": state[i], "tokens": tokens[i : i + 1]}
             if "raw_state" in inputs:
                 outputs["raw_state"] = np.asarray(inputs["raw_state"])

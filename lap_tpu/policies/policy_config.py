@@ -136,8 +136,11 @@ def _restore(
         )["params"]
         sharding_tree = fsdp_sharding(shapes, mesh)
         params = restore_params_sharded(checkpoint_dir / "params", sharding_tree)
+        # Donated cast: an f32 checkpoint served as bf16 must not hold both
+        # copies — the tp feature's whole point is models that barely fit.
         params = jax.jit(
-            lambda p: jax.tree.map(lambda x: x.astype(dtype), p)
+            lambda p: jax.tree.map(lambda x: x.astype(dtype), p),
+            donate_argnums=0,
         )(params)
         return model, {"params": params}
     params = restore_params(checkpoint_dir / "params", dtype=dtype)
@@ -148,13 +151,14 @@ def _restore(
         from lap_tpu.models import gemma as _gemma
 
         p = dict(variables["params"])
-        llm_stacked = dict(p["llm"])
-        p["llm"] = _gemma.unstack_layer_params(llm_stacked, model_cfg.backbone_depth)
-        # Drop every reference to the stacked layer tree before the quant
-        # population pass: holding both layouts alive doubles peak weight
-        # memory exactly when the int8 copies are being materialized.
-        llm_stacked.pop("layers", None)
-        del params, llm_stacked
+        p["llm"] = _gemma.unstack_layer_params(
+            dict(p["llm"]), model_cfg.backbone_depth
+        )
+        # NOTE on host memory: the per-layer leaves are numpy VIEWS into the
+        # stacked arrays, so the stacked buffers stay alive (on host) either
+        # way; only the device ever materializes per-layer copies, during
+        # the jit below. No extra host copy is made here on purpose.
+        del params
         variables = {"params": p}
         _, qvars = jax.jit(
             lambda v, r: model.apply(

@@ -17,6 +17,22 @@ from lap_tpu.policies.batching import BatchingPolicy
 from tests.test_serving import TINY, _build_ar_policy, _build_policy, _obs
 
 
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _batcher(policy, **kw):
+    # background_warmup off in tests: the extra bucket compiles are slow on
+    # CPU and irrelevant to what each test asserts (covered explicitly in
+    # test_background_warmup_compiles_remaining_buckets).
+    kw.setdefault("background_warmup", False)
+    return BatchingPolicy(policy, **kw)
+
+
 def _obs_with_state(value: float):
     o = _obs()
     o["observation"]["state"] = np.full(7, value, np.float32)
@@ -25,7 +41,7 @@ def _obs_with_state(value: float):
 
 def test_concurrent_requests_coalesce_and_route_correctly():
     policy = _build_policy()
-    batcher = BatchingPolicy(policy, max_batch=4, window_ms=300.0)
+    batcher = _batcher(policy, max_batch=4, window_ms=2000.0)
     try:
         batcher.warmup(_obs())
 
@@ -53,7 +69,7 @@ def test_concurrent_requests_coalesce_and_route_correctly():
 
 def test_same_batch_rows_sample_independent_noise():
     policy = _build_policy()
-    batcher = BatchingPolicy(policy, max_batch=2, window_ms=300.0)
+    batcher = _batcher(policy, max_batch=2, window_ms=2000.0)
     try:
         with ThreadPoolExecutor(2) as ex:
             a, b = list(ex.map(lambda _: batcher.infer(_obs()), range(2)))
@@ -67,7 +83,7 @@ def test_same_batch_rows_sample_independent_noise():
 
 def test_padding_to_bucket_drops_padded_rows():
     policy = _build_policy()
-    batcher = BatchingPolicy(policy, max_batch=4, window_ms=300.0)
+    batcher = _batcher(policy, max_batch=4, window_ms=2000.0)
     try:
         with ThreadPoolExecutor(3) as ex:
             results = list(
@@ -90,7 +106,7 @@ def test_ar_greedy_batched_matches_direct():
     path must produce the same parsed result as a direct infer."""
     policy = _build_ar_policy()
     direct = policy.infer(_obs())
-    batcher = BatchingPolicy(policy, max_batch=2, window_ms=200.0)
+    batcher = _batcher(policy, max_batch=2, window_ms=2000.0)
     try:
         with ThreadPoolExecutor(2) as ex:
             results = list(ex.map(lambda _: batcher.infer(_obs()), range(2)))
@@ -105,7 +121,7 @@ def test_ar_greedy_batched_matches_direct():
 
 def test_bad_request_error_propagates_to_caller():
     policy = _build_policy()
-    batcher = BatchingPolicy(policy, max_batch=2, window_ms=10.0)
+    batcher = _batcher(policy, max_batch=2, window_ms=10.0)
     try:
         bad = _obs()
         del bad["observation"]["state"]
@@ -123,8 +139,9 @@ def test_batched_policy_over_websocket_two_clients():
     from lap_tpu.serving.websocket_policy_server import WebsocketPolicyServer
 
     policy = _build_policy()
-    batcher = BatchingPolicy(policy, max_batch=2, window_ms=100.0)
-    server = WebsocketPolicyServer(batcher, host="127.0.0.1", port=18476)
+    batcher = _batcher(policy, max_batch=2, window_ms=1000.0)
+    port = _free_port()
+    server = WebsocketPolicyServer(batcher, host="127.0.0.1", port=port)
 
     import asyncio
 
@@ -139,7 +156,7 @@ def test_batched_policy_over_websocket_two_clients():
     time.sleep(0.5)
 
     def one_client(n):
-        client = WebsocketClientPolicy(host="127.0.0.1", port=18476)
+        client = WebsocketClientPolicy(host="127.0.0.1", port=port)
         outs = [client.infer(_obs()) for _ in range(n)]
         client.close()
         return outs
@@ -152,9 +169,42 @@ def test_batched_policy_over_websocket_two_clients():
             for r in outs:
                 assert np.isfinite(r["actions"]).all()
         assert batcher.stats["requests"] == 6
-        # With two clients hammering and a 100 ms window, at least one
+        # With two clients in lockstep and a 1 s window, at least one
         # device call must have coalesced both.
         assert batcher.stats["largest_batch"] == 2
     finally:
         loop.call_soon_threadsafe(loop.stop)
         batcher.close()
+
+
+def test_background_warmup_compiles_remaining_buckets():
+    """With background_warmup on, the first completed request triggers a
+    warmup thread that pre-compiles every bucket size."""
+    policy = _build_policy()
+    batcher = BatchingPolicy(policy, max_batch=2, window_ms=10.0,
+                             background_warmup=True)
+    try:
+        r = batcher.infer(_obs())
+        assert np.isfinite(r["actions"]).all()
+        assert batcher._warmup_started
+        # The warmup thread drives _infer_prepared directly; wait for it to
+        # finish so its compiles don't bleed into other tests.
+        for t in threading.enumerate():
+            if t.name == "lap-batcher-warmup":
+                t.join(timeout=300)
+        # Buckets are now compiled: a 2-request batch completes promptly.
+        with ThreadPoolExecutor(2) as ex:
+            outs = list(ex.map(lambda _: batcher.infer(_obs()), range(2)))
+        assert all(np.isfinite(o["actions"]).all() for o in outs)
+    finally:
+        batcher.close()
+
+
+def test_infer_after_close_raises():
+    policy = _build_policy()
+    batcher = _batcher(policy, max_batch=2, window_ms=10.0)
+    r = batcher.infer(_obs())
+    assert np.isfinite(r["actions"]).all()
+    batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.infer(_obs())

@@ -108,6 +108,51 @@ def test_sample_tokens(model_and_params):
     assert toks.dtype == jnp.int32
 
 
+def test_sample_tokens_batched_rows_stop_at_eos(model_and_params):
+    """With batch > 1 the decode loop runs until EVERY row finishes; rows
+    that already emitted EOS must keep writing 0 (identical to the unwritten
+    trailing slots of a single-request decode), not post-EOS continuation
+    tokens (micro-batched AR serving relies on this)."""
+    from lap_tpu.models import lap_model as _lm
+
+    model, params = model_and_params
+    obs = _obs(TINY, b=4, seed=3)
+    # The random model's greedy argmax differs per row; redefine EOS as
+    # row 0's first greedy token so row 0 finishes at step 0 while the other
+    # rows keep decoding — fully deterministic staggered finishes. (The
+    # greedy probe runs at the SAME max_decoding_steps: among the random
+    # model's near-tied logits, argmax tie-breaking is shape-dependent.)
+    greedy = np.asarray(
+        model.apply(
+            params, jax.random.PRNGKey(0), obs, max_decoding_steps=16,
+            method=model.sample_tokens,
+        )
+    )
+    eos_token = int(greedy[0, 0])
+    # NOTE: EOS_TOKEN is a dataclass field — its default is baked into
+    # __init__, so patching the class attribute would be a no-op.
+    model2 = _lm.LAP(config=TINY, EOS_TOKEN=eos_token)
+    toks = np.asarray(
+        model2.apply(
+            params, jax.random.PRNGKey(0), obs, max_decoding_steps=16,
+            method=model2.sample_tokens,
+        )
+    )
+    first_eos = []
+    for row in toks:
+        hits = np.nonzero(row == eos_token)[0]
+        first_eos.append(int(hits[0]) if hits.size else None)
+        if hits.size:
+            assert (row[int(hits[0]) + 1 :] == 0).all(), (
+                f"post-EOS tokens written: {row}"
+            )
+    # The scenario must actually exercise staggered finishes: row 0 done at
+    # step 0 while at least one other row decodes past it.
+    assert first_eos[0] == 0
+    assert any(p is None or p > 0 for p in first_eos[1:]), first_eos
+    assert toks.shape[1] == 16 and (toks[0, 1:] == 0).all()
+
+
 def test_left_to_right_align():
     x = jnp.arange(8, dtype=jnp.float32).reshape(1, 4, 2)
     mask = jnp.array([[True, True, False, False]])

@@ -90,7 +90,7 @@ def test_serve_policy_cli_batched():
         [
             sys.executable, "scripts/serve_policy.py",
             "--env", "DEBUG", "--host", "127.0.0.1", "--port", str(port),
-            "--max_batch", "2", "--batch_window_ms", "100",
+            "--max_batch", "2", "--batch_window_ms", "1000",
             "--default_prompt", "pick up the block",
         ],
         cwd=REPO, env=ENV,
@@ -134,7 +134,7 @@ def test_serve_policy_cli_batched():
             for r in outs:
                 assert np.isfinite(r["actions"]).all()
                 batch_sizes.append(r["policy_timing"]["batch_size"])
-        # Two clients in lockstep with a 100 ms window: at least one call
+        # Two clients in lockstep with a 1 s window: at least one call
         # must have coalesced both requests.
         assert max(batch_sizes) == 2
     finally:
