@@ -95,6 +95,29 @@ def test_tp_rejects_quantize(debug_ckpt):
         )
 
 
+def test_tp_gemma3_flow_policy(tmp_path):
+    """The sliding-window backbone serves tp-sharded too (same param-name
+    rules: gating_einsum/linear/attention einsums)."""
+    import dataclasses
+
+    from tests.test_int8_serving import TINY3
+
+    train_config = dataclasses.replace(config_mod.get_config("debug"), model=TINY3)
+    model = train_config.model.create_module()
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+    )["params"]
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save((tmp_path / "params").resolve(), {"params": params})
+    policy = policy_config.create_trained_policy(
+        train_config, tmp_path, allow_test_vocab=True, num_steps=2, tp=2
+    )
+    assert any("tp" in s for s in _tp_specs(policy._params))
+    r = policy.infer(_obs())
+    assert r["actions"].shape == (TINY3.action_horizon, TINY3.action_dim)
+    assert np.isfinite(r["actions"]).all()
+
+
 def test_tp_composes_with_micro_batching(debug_ckpt):
     """The two serving multipliers stack: tp-sharded model + request
     coalescing."""
