@@ -668,6 +668,21 @@ def main():
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["serving_batch2_skipped"] = str(e)[:120]
     try:
+        # Prompt-length bucketing (serve_policy --token_bucket): a typical
+        # robot prompt+state fits in 64 text tokens; serving slices trailing
+        # pad to the bucket, so the jitted graph sees exactly this shape
+        # (vs the full 180-token pad the reference always pays).
+        import dataclasses as _dc
+
+        cfg64 = _dc.replace(
+            _flagship_cfg(on_tpu, scan_unroll=18 if on_tpu else 1),
+            max_token_len=64 if on_tpu else 16,
+        )
+        b64_s = bench_inference(cfg64, on_tpu, iters=15 if on_tpu else 2)
+        record["serving_token_bucket64_hz"] = round(1.0 / b64_s, 2)
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        record["serving_token_bucket_skipped"] = str(e)[:120]
+    try:
         record.update(bench_ar_decode(_flagship_cfg(on_tpu, scan_unroll=18 if on_tpu else 1), on_tpu))
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["ar_decode_skipped"] = str(e)[:120]

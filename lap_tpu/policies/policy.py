@@ -24,6 +24,47 @@ from lap_tpu.policies.model_transforms import compose
 logger = logging.getLogger(__name__)
 
 
+# Fields whose trailing axis is the (end-padded) token axis — the only ones
+# prompt-length bucketing may slice.
+_TOKEN_AXIS_KEYS = (
+    "tokenized_prompt",
+    "tokenized_prompt_mask",
+    "token_ar_mask",
+    "token_loss_mask",
+    "tokenized_langact_mask",
+    "critical_token_mask",
+    "number_token_mask",
+    "direction_token_mask",
+)
+
+
+def _trim_token_pad(batch: dict, multiple: int) -> dict:
+    """Prompt-length bucketing: slice trailing all-pad token positions down
+    to the next multiple-of-``multiple`` bucket.
+
+    The tokenizer end-pads to ``max_token_len`` (180 / 800 for Gemma3) and
+    the prefill computes every padded position; robot prompts are typically
+    far shorter, so trimming cuts prefill work ~T_trim/T. Valid tokens are
+    contiguous from 0 (tokenize() appends pads last), padded positions carry
+    exactly zero attention weight, and each bucket is one cached XLA
+    executable (a deployed robot's prompt length is fixed -> one compile)."""
+    mask = batch.get("tokenized_prompt_mask")
+    if mask is None:
+        return batch
+    mask = np.asarray(mask)
+    t = mask.shape[-1]
+    n = int(mask.sum(axis=-1).max()) if mask.size else t
+    bucket = min(t, max(multiple, -(-n // multiple) * multiple))
+    if bucket >= t:
+        return batch
+    out = dict(batch)
+    for k in _TOKEN_AXIS_KEYS:
+        v = out.get(k)
+        if v is not None and getattr(v, "shape", ()) and v.shape[-1] == t:
+            out[k] = v[..., :bucket]
+    return out
+
+
 def _stack_batch(inputs_list: list[dict]) -> dict:
     """Stack K transformed-input dicts into one batch-K dict.
 
@@ -68,6 +109,7 @@ class Policy(BasePolicy):
         output_transforms: Sequence = (),
         rng: jax.Array | None = None,
         num_steps: int = 10,
+        token_bucket: int | None = None,
         metadata: dict | None = None,
     ):
         super().__init__(metadata=metadata)
@@ -75,6 +117,7 @@ class Policy(BasePolicy):
         self._params = params
         self._input = compose(input_transforms)
         self._output = compose(output_transforms)
+        self._token_bucket = token_bucket
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         # The per-request key is derived INSIDE jit (fold_in on a host int):
         # a host-side jax.random.split would add a device round-trip per
@@ -109,6 +152,8 @@ class Policy(BasePolicy):
         output transforms to the first N rows — the batcher's bucket-padding
         rows never pay the transform cost."""
         batch = _stack_batch(inputs_list)
+        if self._token_bucket:
+            batch = _trim_token_pad(batch, self._token_bucket)
         observation = CoTObservation.from_dict(batch)
         actions = np.asarray(
             self._sample(self._params, self._rng, self._next_step(), observation)
@@ -136,6 +181,7 @@ class ARPolicy(BasePolicy):
         rng: jax.Array | None = None,
         max_decoding_steps: int = 390,
         temperature: float = 0.0,
+        token_bucket: int | None = None,
         metadata: dict | None = None,
     ):
         super().__init__(metadata=metadata)
@@ -143,6 +189,7 @@ class ARPolicy(BasePolicy):
         self._params = params
         self._input = compose(input_transforms)
         self._output = compose(output_transforms)
+        self._token_bucket = token_bucket
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         # Key derivation happens inside jit (see Policy): no host-side
         # device round-trip per request.
@@ -175,6 +222,8 @@ class ARPolicy(BasePolicy):
         """One batched greedy/temperature decode over K prepared requests.
         ``n_results``: see Policy._infer_prepared."""
         batch = _stack_batch(inputs_list)
+        if self._token_bucket:
+            batch = _trim_token_pad(batch, self._token_bucket)
         observation = CoTObservation.from_dict(batch)
         tokens = np.asarray(
             self._sample(self._params, self._rng, self._next_step(), observation)

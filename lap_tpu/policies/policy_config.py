@@ -178,6 +178,7 @@ def create_trained_policy(
     allow_test_vocab: bool = False,
     quantize: str | None = None,
     tp: int = 1,
+    token_bucket: int | None = None,
 ) -> Policy:
     checkpoint_dir = Path(checkpoint_dir)
     # Stacks + tokenizer guard FIRST: they need only the config and cheap
@@ -195,6 +196,7 @@ def create_trained_policy(
         input_transforms=inputs,
         output_transforms=outputs,
         num_steps=num_steps,
+        token_bucket=token_bucket,
         metadata={"config": train_config.name, "mode": "flow"},
     )
 
@@ -209,6 +211,7 @@ def create_trained_policy_ar(
     allow_test_vocab: bool = False,
     quantize: str | None = None,
     tp: int = 1,
+    token_bucket: int | None = None,
 ) -> ARPolicy:
     checkpoint_dir = Path(checkpoint_dir)
     norm_stats = _load_norm_stats(checkpoint_dir, train_config.data.asset_id)
@@ -224,5 +227,6 @@ def create_trained_policy_ar(
         output_transforms=outputs,
         max_decoding_steps=max_decoding_steps,
         temperature=temperature,
+        token_bucket=token_bucket,
         metadata={"config": train_config.name, "mode": "ar"},
     )

@@ -74,19 +74,20 @@ def create_policy(args):
         )
         return Policy(
             model, params, input_transforms=inputs, output_transforms=outputs,
-            num_steps=2, metadata={"config": "debug", "mode": "flow"},
+            num_steps=2, token_bucket=args.token_bucket,
+            metadata={"config": "debug", "mode": "flow"},
         )
 
     if ar:
         return policy_config.create_trained_policy_ar(
             train_config, checkpoint_dir, default_prompt=args.default_prompt,
             allow_test_vocab=args.allow_test_vocab, quantize=args.quantize,
-            tp=args.serve_tp,
+            tp=args.serve_tp, token_bucket=args.token_bucket,
         )
     return policy_config.create_trained_policy(
         train_config, checkpoint_dir, default_prompt=args.default_prompt,
         allow_test_vocab=args.allow_test_vocab, quantize=args.quantize,
-        tp=args.serve_tp,
+        tp=args.serve_tp, token_bucket=args.token_bucket,
     )
 
 
@@ -117,6 +118,13 @@ def main():
         "--quantize", default=None, choices=["int8"],
         help="weight-only int8 on the decode path (prefill stays bf16): "
         "~2x decode bandwidth for ~0.4%% per-matmul weight rounding",
+    )
+    parser.add_argument(
+        "--token_bucket", type=int, default=None,
+        help="prompt-length bucketing: trim trailing token padding to the "
+        "next multiple of N before prefill (the tokenizer pads to "
+        "max_token_len; short robot prompts then pay full-length prefill). "
+        "One cached XLA executable per bucket. Unset = reference behavior",
     )
     parser.add_argument(
         "--serve_tp", type=int, default=1,

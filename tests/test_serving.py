@@ -237,3 +237,66 @@ def test_concurrent_clients_get_unique_sampling_steps():
             assert np.isfinite(r["actions"]).all()
     assert policy._step == 8  # every request consumed a unique step
     loop.call_soon_threadsafe(loop.stop)
+
+
+# ---------------------------------------------------------------------------
+# Prompt-length bucketing (token_bucket)
+# ---------------------------------------------------------------------------
+
+
+def test_trim_token_pad_unit():
+    from lap_tpu.policies.policy import _trim_token_pad
+
+    batch = {
+        "tokenized_prompt": np.arange(2 * 48).reshape(2, 48).astype(np.int32),
+        "tokenized_prompt_mask": np.pad(
+            np.ones((2, 19), bool), ((0, 0), (0, 29))
+        ),
+        "token_loss_mask": np.zeros((2, 48), bool),
+        "tokenized_dataset_name": np.zeros((2, 100), np.int32),
+        "state": np.zeros((2, 7), np.float32),
+    }
+    out = _trim_token_pad(batch, 8)
+    # 19 valid tokens -> 24-bucket; only token-axis keys sliced.
+    assert out["tokenized_prompt"].shape == (2, 24)
+    assert out["tokenized_prompt_mask"].shape == (2, 24)
+    assert out["token_loss_mask"].shape == (2, 24)
+    assert out["tokenized_dataset_name"].shape == (2, 100)
+    assert out["state"].shape == (2, 7)
+    np.testing.assert_array_equal(
+        out["tokenized_prompt"], batch["tokenized_prompt"][:, :24]
+    )
+    # No valid tokens dropped, and a bucket >= max_token_len is a no-op.
+    assert out["tokenized_prompt_mask"].sum() == 2 * 19
+    assert _trim_token_pad(batch, 64) is batch
+
+
+def _build_policy_bucketed(token_bucket):
+    policy = _build_policy()
+    policy._token_bucket = token_bucket
+    return policy
+
+
+def test_token_bucket_flow_matches_full_length():
+    full = _build_policy()
+    trimmed = _build_policy_bucketed(8)
+    r_full = full.infer(_obs())
+    r_trim = trimmed.infer(_obs())
+    # Padded positions carry exactly zero attention weight: trimming them
+    # changes only float reduction order.
+    np.testing.assert_allclose(
+        r_full["actions"], r_trim["actions"], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(r_full["state"], r_trim["state"], rtol=1e-5)
+
+
+def test_token_bucket_ar_greedy_matches_full_length():
+    full = _build_ar_policy()
+    trimmed = _build_ar_policy()
+    trimmed._token_bucket = 8
+    r_full = full.infer(_obs())
+    r_trim = trimmed.infer(_obs())
+    np.testing.assert_allclose(
+        np.asarray(r_full["actions"]), np.asarray(r_trim["actions"]), atol=1e-5
+    )
+    assert r_full.get("reasoning", "") == r_trim.get("reasoning", "")
