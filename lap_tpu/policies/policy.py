@@ -97,8 +97,10 @@ class BasePolicy:
         raise NotImplementedError
 
 
-class Policy(BasePolicy):
-    """Flow-matching action-chunk policy."""
+class _ModelPolicy(BasePolicy):
+    """Shared serving plumbing: host transform pipeline around one jitted
+    sample fn. Subclasses set ``self._sample`` (jit of sample_actions /
+    sample_tokens) and define ``_row_outputs`` (per-row result fields)."""
 
     def __init__(
         self,
@@ -108,7 +110,6 @@ class Policy(BasePolicy):
         input_transforms: Sequence = (),
         output_transforms: Sequence = (),
         rng: jax.Array | None = None,
-        num_steps: int = 10,
         token_bucket: int | None = None,
         metadata: dict | None = None,
     ):
@@ -119,15 +120,6 @@ class Policy(BasePolicy):
         self._output = compose(output_transforms)
         self._token_bucket = token_bucket
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
-        # The per-request key is derived INSIDE jit (fold_in on a host int):
-        # a host-side jax.random.split would add a device round-trip per
-        # request, which dominates serving latency on remote-attached chips.
-        self._sample = jax.jit(
-            lambda p, r, step, o: model.apply(
-                p, jax.random.fold_in(r, step), o, num_steps=num_steps,
-                method=model.sample_actions,
-            )
-        )
 
     def infer(self, obs: dict) -> dict:
         t_start = time.monotonic()
@@ -140,6 +132,9 @@ class Policy(BasePolicy):
     def _prepare(self, obs: dict) -> dict:
         """Host-side input transforms for one request (thread-safe)."""
         return self._input(dict(obs))
+
+    def _row_outputs(self, sampled: np.ndarray, i: int) -> dict:
+        raise NotImplementedError
 
     def _infer_prepared(
         self, inputs_list: list[dict], n_results: int | None = None
@@ -155,20 +150,39 @@ class Policy(BasePolicy):
         if self._token_bucket:
             batch = _trim_token_pad(batch, self._token_bucket)
         observation = CoTObservation.from_dict(batch)
-        actions = np.asarray(
+        sampled = np.asarray(
             self._sample(self._params, self._rng, self._next_step(), observation)
         )
         state = np.asarray(batch["state"])
         results = []
         for i, inputs in enumerate(inputs_list[:n_results]):
-            outputs = {"state": state[i], "actions": actions[i]}
+            outputs = {"state": state[i], **self._row_outputs(sampled, i)}
             if "raw_state" in inputs:
                 outputs["raw_state"] = np.asarray(inputs["raw_state"])
             results.append(self._output(outputs))
         return results
 
 
-class ARPolicy(BasePolicy):
+class Policy(_ModelPolicy):
+    """Flow-matching action-chunk policy."""
+
+    def __init__(self, model, params, *, num_steps: int = 10, **kw):
+        super().__init__(model, params, **kw)
+        # The per-request key is derived INSIDE jit (fold_in on a host int):
+        # a host-side jax.random.split would add a device round-trip per
+        # request, which dominates serving latency on remote-attached chips.
+        self._sample = jax.jit(
+            lambda p, r, step, o: model.apply(
+                p, jax.random.fold_in(r, step), o, num_steps=num_steps,
+                method=model.sample_actions,
+            )
+        )
+
+    def _row_outputs(self, sampled, i):
+        return {"actions": sampled[i]}
+
+
+class ARPolicy(_ModelPolicy):
     """Autoregressive language-action policy (reference policy_adapter.py)."""
 
     def __init__(
@@ -176,21 +190,11 @@ class ARPolicy(BasePolicy):
         model,
         params,
         *,
-        input_transforms: Sequence = (),
-        output_transforms: Sequence = (),
-        rng: jax.Array | None = None,
         max_decoding_steps: int = 390,
         temperature: float = 0.0,
-        token_bucket: int | None = None,
-        metadata: dict | None = None,
+        **kw,
     ):
-        super().__init__(metadata=metadata)
-        self._model = model
-        self._params = params
-        self._input = compose(input_transforms)
-        self._output = compose(output_transforms)
-        self._token_bucket = token_bucket
-        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        super().__init__(model, params, **kw)
         # Key derivation happens inside jit (see Policy): no host-side
         # device round-trip per request.
         self._sample = jax.jit(
@@ -204,38 +208,9 @@ class ARPolicy(BasePolicy):
             )
         )
 
-    def infer(self, obs: dict) -> dict:
-        t_start = time.monotonic()
-        result = self._infer_prepared([self._prepare(obs)])[0]
-        result["policy_timing"] = {
-            "infer_ms": (time.monotonic() - t_start) * 1000.0
-        }
-        return result
-
-    def _prepare(self, obs: dict) -> dict:
-        """Host-side input transforms for one request (thread-safe)."""
-        return self._input(dict(obs))
-
-    def _infer_prepared(
-        self, inputs_list: list[dict], n_results: int | None = None
-    ) -> list[dict]:
-        """One batched greedy/temperature decode over K prepared requests.
-        ``n_results``: see Policy._infer_prepared."""
-        batch = _stack_batch(inputs_list)
-        if self._token_bucket:
-            batch = _trim_token_pad(batch, self._token_bucket)
-        observation = CoTObservation.from_dict(batch)
-        tokens = np.asarray(
-            self._sample(self._params, self._rng, self._next_step(), observation)
-        )
-        state = np.asarray(batch["state"])
-        results = []
-        for i, inputs in enumerate(inputs_list[:n_results]):
-            outputs = {"state": state[i], "tokens": tokens[i : i + 1]}
-            if "raw_state" in inputs:
-                outputs["raw_state"] = np.asarray(inputs["raw_state"])
-            results.append(self._output(outputs))
-        return results
+    def _row_outputs(self, sampled, i):
+        # Detokenize expects the [1, T] batch layout per request.
+        return {"tokens": sampled[i : i + 1]}
 
 
 class PolicyRecorder(BasePolicy):

@@ -89,7 +89,7 @@ def _restore(
     quantize: str | None = None,
     tp: int = 1,
 ):
-    from lap_tpu.training.checkpoints import restore_params
+    from lap_tpu.training.checkpoints import restore_params, restore_params_sharded
 
     if tp > 1 and quantize is not None:
         raise ValueError(
@@ -127,7 +127,6 @@ def _restore(
 
         from lap_tpu.parallel.mesh import make_mesh
         from lap_tpu.parallel.sharding import fsdp_sharding
-        from lap_tpu.training.checkpoints import restore_params_sharded
 
         mesh = make_mesh(fsdp_devices=1, tp_devices=tp)
         shapes = jax.eval_shape(

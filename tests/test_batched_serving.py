@@ -14,15 +14,8 @@ import pytest
 
 from lap_tpu.policies.batching import BatchingPolicy
 
+from tests.test_serve_cli import _free_port
 from tests.test_serving import TINY, _build_ar_policy, _build_policy, _obs
-
-
-def _free_port() -> int:
-    import socket
-
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
 
 
 def _batcher(policy, **kw):

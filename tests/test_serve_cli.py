@@ -28,46 +28,58 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_serve_policy_cli_debug(tmp_path):
+def _boot_server(*extra_args):
+    """Start serve_policy.py (DEBUG preset) on a free port and wait until a
+    client can connect. Returns (proc, port)."""
     from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
 
     port = _free_port()
-    record = tmp_path / "rec"
     proc = subprocess.Popen(
         [
             sys.executable, "scripts/serve_policy.py",
             "--env", "DEBUG", "--host", "127.0.0.1", "--port", str(port),
-            "--record_dir", str(record),
             "--default_prompt", "pick up the block",
+            *extra_args,
         ],
         cwd=REPO, env=ENV,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise AssertionError(f"server died:\n{proc.stdout.read()[-3000:]}")
+        try:
+            WebsocketClientPolicy(host="127.0.0.1", port=port).close()
+            return proc, port
+        except Exception:  # noqa: BLE001 - still booting
+            time.sleep(1.0)
+    proc.kill()
+    raise AssertionError("server never became reachable")
+
+
+def _obs():
+    rng = np.random.default_rng(0)
+    return {
+        "observation": {
+            "base_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
+            "left_wrist_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
+            "state": np.zeros(7, np.float32),
+        },
+        "prompt": "pick up the cup",
+    }
+
+
+def test_serve_policy_cli_debug(tmp_path):
+    from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
+
+    record = tmp_path / "rec"
+    proc, port = _boot_server("--record_dir", str(record))
     try:
-        client = None
-        deadline = time.time() + 300
-        while time.time() < deadline:
-            if proc.poll() is not None:
-                raise AssertionError(f"server died:\n{proc.stdout.read()[-3000:]}")
-            try:
-                client = WebsocketClientPolicy(host="127.0.0.1", port=port)
-                break
-            except Exception:  # noqa: BLE001 - still booting
-                time.sleep(1.0)
-        assert client is not None, "server never became reachable"
+        client = WebsocketClientPolicy(host="127.0.0.1", port=port)
         meta = client.get_server_metadata()
         assert meta.get("config") == "debug"
 
-        rng = np.random.default_rng(0)
-        obs = {
-            "observation": {
-                "base_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
-                "left_wrist_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
-                "state": np.zeros(7, np.float32),
-            },
-            "prompt": "pick up the cup",
-        }
-        result = client.infer(obs)
+        result = client.infer(_obs())
         assert np.isfinite(result["actions"]).all()
         assert result["policy_timing"]["infer_ms"] > 0
         client.close()
@@ -85,47 +97,14 @@ def test_serve_policy_cli_batched():
 
     from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
 
-    port = _free_port()
-    proc = subprocess.Popen(
-        [
-            sys.executable, "scripts/serve_policy.py",
-            "--env", "DEBUG", "--host", "127.0.0.1", "--port", str(port),
-            "--max_batch", "2", "--batch_window_ms", "1000",
-            "--default_prompt", "pick up the block",
-        ],
-        cwd=REPO, env=ENV,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
+    proc, port = _boot_server("--max_batch", "2", "--batch_window_ms", "1000")
     try:
-        client = None
-        deadline = time.time() + 300
-        while time.time() < deadline:
-            if proc.poll() is not None:
-                raise AssertionError(f"server died:\n{proc.stdout.read()[-3000:]}")
-            try:
-                client = WebsocketClientPolicy(host="127.0.0.1", port=port)
-                break
-            except Exception:  # noqa: BLE001 - still booting
-                time.sleep(1.0)
-        assert client is not None, "server never became reachable"
-
-        rng = np.random.default_rng(0)
-        obs = {
-            "observation": {
-                "base_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
-                "left_wrist_0_rgb": rng.integers(0, 255, (56, 56, 3), np.uint8),
-                "state": np.zeros(7, np.float32),
-            },
-            "prompt": "pick up the cup",
-        }
-
         def one_client(n):
             c = WebsocketClientPolicy(host="127.0.0.1", port=port)
-            outs = [c.infer(obs) for _ in range(n)]
+            outs = [c.infer(_obs()) for _ in range(n)]
             c.close()
             return outs
 
-        client.close()
         with ThreadPoolExecutor(2) as ex:
             futs = [ex.submit(one_client, 3) for _ in range(2)]
             results = [f.result() for f in futs]
