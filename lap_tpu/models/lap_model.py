@@ -25,7 +25,6 @@ Behavioral contract preserved (reference line references in method docs):
 from __future__ import annotations
 
 import dataclasses
-from typing import Literal
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,6 @@ import time
 from collections.abc import Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from lap_tpu.models.types import CoTObservation

@@ -9,7 +9,6 @@ from lap_tpu.models.lap_model import (
     put_along_last_axis,
     posemb_sincos,
 )
-from lap_tpu.models.types import fake_obs
 from lap_tpu.ops.masks import make_attn_mask
 
 TINY = LAPConfig(

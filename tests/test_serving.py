@@ -3,7 +3,6 @@ import time
 
 import jax
 import numpy as np
-import pytest
 
 from lap_tpu.models.lap_model import LAPConfig
 from lap_tpu.models.tokenizer import PaligemmaTokenizer
