@@ -201,3 +201,40 @@ def test_infer_after_close_raises():
     batcher.close()
     with pytest.raises(RuntimeError, match="closed"):
         batcher.infer(_obs())
+
+
+def test_dispatch_groups_by_shape_signature():
+    """Unlike-shaped requests must run as separate batches (np.stack would
+    throw for the whole batch otherwise), and a request whose inputs cannot
+    even be signed fails alone."""
+    from concurrent.futures import Future
+
+    from lap_tpu.policies.batching import _Pending
+
+    calls = []
+
+    class StubPolicy:
+        metadata = {}
+
+        def _prepare(self, obs):
+            return obs
+
+        def _infer_prepared(self, inputs_list, n_results=None):
+            calls.append(len(inputs_list))
+            return [{"ok": i} for i in range(len(inputs_list[:n_results]))]
+
+    batcher = BatchingPolicy(StubPolicy(), max_batch=4, window_ms=10.0,
+                             background_warmup=False)
+    try:
+        a = _Pending({"x": np.zeros((3,), np.float32)}, Future())
+        b = _Pending({"x": np.zeros((3,), np.float32)}, Future())
+        c = _Pending({"x": np.zeros((5,), np.float32)}, Future())  # other shape
+        batcher._dispatch([a, b, c])
+        assert a.future.result(1)["ok"] == 0
+        assert b.future.result(1)["ok"] == 1
+        assert c.future.result(1)["ok"] == 0
+        # Two device calls: the like-shaped pair (padded to 2) and the odd one.
+        assert sorted(calls) == [1, 2]
+        assert a.batch_size == 2 and c.batch_size == 1
+    finally:
+        batcher.close()
