@@ -86,6 +86,10 @@ class BatchingPolicy(BasePolicy):
         self._buckets.append(max_batch)
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
+        # Orders infer()'s enqueue against close()'s sentinel: an item is
+        # either ahead of the sentinel (the worker serves it) or the enqueue
+        # raises — a Future can never be left unresolved.
+        self._close_lock = threading.Lock()
         self._background_warmup = background_warmup
         self._warmup_started = False
         self.stats = {"requests": 0, "batches": 0, "largest_batch": 0}
@@ -95,11 +99,12 @@ class BatchingPolicy(BasePolicy):
         self._worker.start()
 
     def infer(self, obs: dict) -> dict:
-        if self._closed:
-            raise RuntimeError("BatchingPolicy is closed")
         t_start = time.monotonic()
         item = _Pending(self._policy._prepare(obs), Future())
-        self._queue.put(item)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("BatchingPolicy is closed")
+            self._queue.put(item)
         result = item.future.result()
         result["policy_timing"] = {
             "infer_ms": (time.monotonic() - t_start) * 1000.0,
@@ -109,26 +114,36 @@ class BatchingPolicy(BasePolicy):
 
     def warmup(self, example_obs: dict) -> None:
         """Pre-compile every bucket size (cold-start latency off the serving
-        path; first compile per shape is ~20-40 s on a tunnel-attached chip)."""
-        self._warmup_started = True
+        path; first compile per shape is ~20-40 s on a tunnel-attached chip).
+        The flag flips only on success: an interrupted warmup leaves the
+        background-warmup fallback armed."""
         inputs = self._policy._prepare(dict(example_obs))
         for b in self._buckets:
             self._policy._infer_prepared([inputs] * b, n_results=1)
             logger.info("warmed batch bucket %d", b)
+        self._warmup_started = True
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         self._worker.join(timeout=30.0)
-        # Fail anything that raced past the closed check; nothing will
-        # serve it now.
+        # The worker flushes everything ahead of the sentinel before exiting;
+        # after the join the queue is empty unless the worker is wedged in a
+        # device call past the timeout — then fail the stranded items but
+        # keep the sentinel so the worker still exits when it recovers.
         while True:
             try:
                 item = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if item is not None:
-                item.future.set_exception(RuntimeError("BatchingPolicy closed"))
+            if item is None:
+                if self._worker.is_alive():
+                    self._queue.put(None)
+                break
+            item.future.set_exception(RuntimeError("BatchingPolicy closed"))
 
     # ------------------------------------------------------------------
 
@@ -189,23 +204,27 @@ class BatchingPolicy(BasePolicy):
             it.future.set_result(result)
         if self._background_warmup and not self._warmup_started:
             self._warmup_started = True
+            served = next(b for b in self._buckets if b >= len(items))
             threading.Thread(
                 target=self._warm_remaining,
-                args=(items[-1].inputs,),
+                args=(items[-1].inputs, served),
                 name="lap-batcher-warmup",
                 daemon=True,
             ).start()
 
-    def _warm_remaining(self, template: dict) -> None:
+    def _warm_remaining(self, template: dict, already_compiled: int) -> None:
         for b in self._buckets:
             if self._closed:
                 return
+            if b == already_compiled:
+                continue  # the batch that triggered us just compiled this one
             try:
                 self._policy._infer_prepared([template] * b, n_results=1)
                 logger.info("background-warmed batch bucket %d", b)
-            except Exception:  # noqa: BLE001 - warmup is best-effort
+            except Exception:  # noqa: BLE001 - warmup is best-effort,
+                # per bucket: a transient failure must not leave the larger
+                # buckets cold.
                 logger.exception("bucket %d warmup failed", b)
-                return
 
     def _loop(self) -> None:
         while True:

@@ -61,6 +61,23 @@ def _trim_token_pad(batch: dict, multiple: int) -> dict:
         v = out.get(k)
         if v is not None and getattr(v, "shape", ()) and v.shape[-1] == t:
             out[k] = v[..., :bucket]
+    # Fail loudly if a token-axis field exists that the whitelist above does
+    # not cover: a half-trimmed batch would shape-mismatch (or silently
+    # mis-mask) inside embed_prefix. tokenized_dataset_name is fixed-width
+    # 100, not token-axis.
+    leftover = [
+        k
+        for k, v in out.items()
+        if k not in _TOKEN_AXIS_KEYS
+        and k != "tokenized_dataset_name"
+        and getattr(v, "ndim", 0) >= 1
+        and v.shape[-1] == t
+    ]
+    if leftover:
+        raise ValueError(
+            f"token_bucket: fields with token-length last axis not covered "
+            f"by _TOKEN_AXIS_KEYS: {leftover}"
+        )
     return out
 
 

@@ -59,7 +59,15 @@ def create_policy(args):
     ar = args.ar if args.ar is not None else preset.ar
 
     if EnvMode(args.env) == EnvMode.DEBUG and not checkpoint_dir:
-        # Randomly initialized tiny policy for pipeline debugging.
+        # Randomly initialized tiny policy for pipeline debugging. This
+        # branch skips the checkpoint-restore plumbing, so restore-time
+        # features must not be silently ignored.
+        if args.serve_tp > 1 or args.quantize:
+            raise SystemExit(
+                "--serve_tp/--quantize act at checkpoint restore; the DEBUG "
+                "preset without --checkpoint_dir never restores. Fabricate a "
+                "checkpoint and pass --checkpoint_dir to exercise them."
+            )
         import jax
 
         from lap_tpu.policies.policy import Policy
