@@ -394,3 +394,48 @@ def test_gemma3_quantized_sampling(gemma3_scanned, monkeypatch):
         max_decoding_steps=6, method=model_q.sample_tokens,
     )
     assert toks.shape == (1, 6)
+
+
+def test_quantized_policy_composes_with_micro_batching(tmp_path, monkeypatch):
+    """int8 decode serving under the request coalescer: two concurrent AR
+    requests ride one batched (2-row, still <= QUANT_MAX_ROWS) decode."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import orbax.checkpoint as ocp
+
+    from lap_tpu.policies import policy_config
+    from lap_tpu.policies.batching import BatchingPolicy
+    from lap_tpu.training import config as config_mod
+
+    monkeypatch.setattr(_lora, "QUANT_MIN_WEIGHT_ELEMS", 0)
+    monkeypatch.delenv("LAP_TPU_TOKENIZER_MODEL", raising=False)
+    train_config = config_mod.get_config("debug")
+    model = train_config.model.create_module()
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+    )["params"]
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save((tmp_path / "params").resolve(), {"params": params})
+    ar = policy_config.create_trained_policy_ar(
+        train_config, tmp_path, allow_test_vocab=True, quantize="int8",
+        max_decoding_steps=6,
+    )
+    batcher = BatchingPolicy(
+        ar, max_batch=2, window_ms=2000.0, background_warmup=False
+    )
+    try:
+        img = np.random.default_rng(0).integers(0, 255, (56, 56, 3), np.uint8)
+        obs = {
+            "observation": {
+                "base_0_rgb": img,
+                "left_wrist_0_rgb": img,
+                "state": np.zeros(7, np.float32),
+            },
+            "prompt": "pick up the cup",
+        }
+        with ThreadPoolExecutor(2) as ex:
+            results = list(ex.map(lambda _: batcher.infer(obs), range(2)))
+        for r in results:
+            assert np.isfinite(np.asarray(r["actions"])).all()
+    finally:
+        batcher.close()
