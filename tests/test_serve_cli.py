@@ -119,3 +119,32 @@ def test_serve_policy_cli_batched():
     finally:
         proc.send_signal(signal.SIGKILL)
         proc.wait(timeout=30)
+
+
+def test_bench_serving_cli():
+    """scripts/bench_serving.py drives a live batched server and reports
+    per-robot rates + batch-size histogram."""
+    import json
+
+    proc, port = _boot_server("--max_batch", "2", "--batch_window_ms", "200")
+    try:
+        bench = subprocess.run(
+            [
+                sys.executable, "scripts/bench_serving.py",
+                "--host", "127.0.0.1", "--port", str(port),
+                "--robots", "2", "--seconds", "5",
+                "--image_size", "56",
+            ],
+            cwd=REPO, env=ENV, capture_output=True, text=True, timeout=600,
+        )
+        assert bench.returncode == 0, bench.stdout + bench.stderr
+        record = json.loads(bench.stdout.strip().splitlines()[-1])
+        assert record["robots"] == 2
+        assert record["requests"] >= 2
+        assert record["hz_aggregate"] > 0
+        assert record["latency_ms_p50"] > 0
+        # Two lockstep robots with a 200 ms window coalesce.
+        assert "2" in record["batch_sizes"]
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
