@@ -31,3 +31,18 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 # Make CPU the *default backend* even when a TPU plugin is registered, so
 # jax.default_backend() == "cpu" and Pallas kernels pick interpret mode.
 jax.config.update("jax_platform_name", "cpu")
+
+# Isolate the persistent XLA compilation cache per test session. The CLI
+# entrypoints (train/eval/serve) enable ~/.cache/lap_tpu/xla by default —
+# test_eval_script runs eval.main IN-PROCESS (turning the cache on for the
+# rest of the session) and the serve-CLI tests SIGKILL server subprocesses,
+# which can tear a cache write mid-file; a corrupted entry ABORTS (SIGABRT,
+# not an exception) whichever later process deserializes it. A throwaway
+# per-session dir keeps torn writes away from the user cache and from
+# concurrent sessions.
+if "LAP_TPU_COMPILATION_CACHE" not in os.environ:
+    import tempfile
+
+    os.environ["LAP_TPU_COMPILATION_CACHE"] = tempfile.mkdtemp(
+        prefix="lap_tpu_xla_cache_"
+    )
