@@ -276,3 +276,71 @@ def test_resize_pos_embedding_identity_and_shape():
     # constant fields are preserved (to spline edge tolerance) by resampling
     const = np.ones((1, 64, 4), np.float32) * 3.25
     np.testing.assert_allclose(resize_pos_embedding(const, 16), np.ones((1, 16, 4)) * 3.25, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# scripts/convert_weights.py — standalone export -> servable checkpoint
+# ---------------------------------------------------------------------------
+
+
+def test_convert_weights_cli_paligemma(tmp_path):
+    """Fabricated big_vision npz -> convert CLI -> create_trained_policy
+    serves it, with the exported VLM values flowing through (not fresh init)."""
+    import os
+    import subprocess
+    import sys
+
+    from lap_tpu.policies import policy_config
+    from lap_tpu.training import config as config_mod
+
+    train_config = config_mod.get_config("debug")
+    model = train_config.model.create_module()
+    params = model.init(
+        jax.random.PRNGKey(7), jax.random.PRNGKey(7), method=model.init_params_fn
+    )["params"]
+    flat = flatten(params)
+    npz = {}
+    for key, val in flat.items():
+        bv = _bv_npz_key(key)
+        if bv is not None:
+            npz[bv] = np.asarray(val)
+    src = tmp_path / "pali.npz"
+    np.savez(src, **npz)
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "LAP_TPU_MESH_PLATFORM": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    dest = tmp_path / "converted"
+    out = subprocess.run(
+        [
+            sys.executable, "scripts/convert_weights.py",
+            "--config", "debug", "--kind", "paligemma",
+            "--src", str(src), "--dest", str(dest),
+        ],
+        cwd=Path(__file__).resolve().parent.parent,
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert (dest / "params").exists()
+
+    policy = policy_config.create_trained_policy(
+        train_config, dest, allow_test_vocab=True, num_steps=2
+    )
+    # The exported VLM embedding flowed through (values conserved).
+    restored = flatten(policy._params["params"])
+    want = flat["llm/embedder/input_embedding"]
+    np.testing.assert_allclose(
+        np.asarray(restored["llm/embedder/input_embedding"], np.float32),
+        np.asarray(want, np.float32),
+        rtol=1e-6,
+    )
+    img = np.random.default_rng(0).integers(0, 255, (56, 56, 3), np.uint8)
+    obs = {
+        "observation": {
+            "base_0_rgb": img,
+            "left_wrist_0_rgb": img,
+            "state": np.zeros(7, np.float32),
+        },
+        "prompt": "pick up the cup",
+    }
+    result = policy.infer(obs)
+    assert np.isfinite(result["actions"]).all()
