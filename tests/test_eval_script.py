@@ -131,3 +131,17 @@ def test_eval_missing_demo_mixture_warns_loudly(data_dir, tmp_path):
     prefixes = _logged_prefixes(cfg)
     assert "original" in prefixes
     assert "eval_demo_dataset" not in prefixes
+
+
+def test_eval_runs_on_tp_mesh(data_dir, tmp_path):
+    """Offline eval over a (dp, fsdp, tp) mesh: the checkpoint restores
+    sharded and the jitted loss evaluators execute with tp axes in play."""
+    cfg = _make_config(data_dir, tmp_path)
+    cfg = dataclasses.replace(cfg, fsdp_devices=2, tp_devices=2)
+    _write_checkpoint(cfg)
+    OXE_NAMED_MIXTURES["eval_orig_mix"] = [("bridge_v2_oxe", 1.0)]
+    try:
+        eval_script.main(cfg)
+    finally:
+        OXE_NAMED_MIXTURES.pop("eval_orig_mix", None)
+    assert "original" in _logged_prefixes(cfg)
