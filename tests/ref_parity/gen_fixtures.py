@@ -1295,10 +1295,22 @@ SWEEP_SKIP = {
 }
 
 
-def gen_dataset_sweep_suite():
+def gen_dataset_sweep_suite(seed_offset: int = 0, fname: str = "sweep.npz"):
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
     import tests.test_transforms_oxe as tto
 
+    # seed_offset != 0 fabricates a SECOND independent input set through the
+    # same reference functions: different values probe different
+    # clip/binarize/sign branches than the committed primary sweep.
+    prev_offset = tto.SEED_OFFSET
+    tto.SEED_OFFSET = seed_offset
+    try:
+        _gen_sweep_inner(tto, fname)
+    finally:
+        tto.SEED_OFFSET = prev_offset
+
+
+def _gen_sweep_inner(tto, fname: str):
     sweep_map = getattr(TR, "OXE_STANDARDIZATION_TRANSFORMS")
     out = {}
     covered, skipped = [], []
@@ -1325,8 +1337,8 @@ def gen_dataset_sweep_suite():
             continue
         out.update(keep)
         covered.append(name)
-    np.savez(OUT / "sweep.npz", **out)
-    print(f"sweep.npz: {len(covered)} datasets ({len(out)} arrays)")
+    np.savez(OUT / fname, **out)
+    print(f"{fname}: {len(covered)} datasets ({len(out)} arrays)")
     for s in skipped:
         print("  sweep-skip:", s)
 
@@ -1748,6 +1760,7 @@ def main():
     gen_policy_suite()
     gen_stats_suite()
     gen_dataset_sweep_suite()
+    gen_dataset_sweep_suite(seed_offset=20260818, fname="sweep_s2.npz")
     print("done:", sorted(p.name for p in OUT.iterdir()))
 
 

@@ -11,9 +11,15 @@ from lap_tpu.data.registry import get_dataset_config
 T = 4
 IMGS = [b"\x89PNG-fake"] * T
 
+# Every fabricated float stream draws through _f; offsetting the seed yields
+# a SECOND independent input set for the reference-parity sweep (different
+# values probe different clip/binarize/sign branches in the per-dataset
+# standardizations). 0 = the original committed goldens.
+SEED_OFFSET = 0
+
 
 def _f(*shape, lo=-0.5, hi=0.5, seed=0):
-    rng = np.random.default_rng(seed + int(np.prod(shape)))
+    rng = np.random.default_rng(seed + SEED_OFFSET + int(np.prod(shape)))
     return rng.uniform(lo, hi, shape).astype(np.float32)
 
 
