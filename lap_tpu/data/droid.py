@@ -78,8 +78,9 @@ class DroidMetadata:
             return default
 
         # {episode_id: episode_path} inverted to path->id (mixins :100-109).
-        episode_id_to_path = load("episode_id_to_path.json", {})
-        self.path_to_id = {v: k for k, v in episode_id_to_path.items()}
+        episode_id_to_path = load("episode_id_to_path.json", None)
+        self.has_id_map = episode_id_to_path is not None
+        self.path_to_id = {v: k for k, v in (episode_id_to_path or {}).items()}
 
         # {episode_id: {"language_instruction1": ...}} -> non-empty lists.
         annotations = load("droid_language_annotations.json", None)
@@ -116,6 +117,18 @@ class DroidMetadata:
         (>10 bytes — i.e. at least one non-empty instruction,
         droid_dataset.py:221-226). Permissive when no annotation file."""
         if self.annotations is None:
+            return True
+        if not self.has_id_map:
+            # Annotations are keyed by episode id; without the id map every
+            # lookup would miss and silently drop ALL trajectories. Degrade
+            # to permissive (module contract: absent files are permissive).
+            if not getattr(self, "_warned_no_id_map", False):
+                self._warned_no_id_map = True
+                logger.warning(
+                    "droid_language_annotations.json is present but "
+                    "episode_id_to_path.json is missing; the has-instruction "
+                    "filter cannot be keyed and is DISABLED."
+                )
             return True
         return bool(self.annotations.get(episode_id))
 

@@ -133,8 +133,6 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import math as _math
-
         dtype = x.dtype
         w_gating_raw = self.param(
             "gating_einsum",
@@ -142,31 +140,25 @@ class FeedForward(nn.Module):
             (2, self.hidden_dim, self.features),
         )
         w_gating = w_gating_raw.astype(dtype)
-        quantize = lora.quant_enabled(
-            self.quant, self.lora_config, 2 * self.features * self.hidden_dim
+        # [2, H, F] -> [F, 2H]: contraction-major for the int8 kernel.
+        gate_full = lora.quant_dispatch(
+            self, "gating_", w_gating_raw, (2, 0, 1), 1,
+            quant=self.quant, lora_config=self.lora_config, x=x,
+            out_shape=(*x.shape[:-1], 2, self.hidden_dim),
         )
-        if quantize:
-            # [2, H, F] -> [F, 2H]: contraction-major for the int8 kernel.
-            g_i8, g_scale = lora.quant_vars(self, "gating_", w_gating_raw, (2, 0, 1), 1)
-        rows = _math.prod(x.shape[:-1])
-        if quantize and rows <= lora.QUANT_MAX_ROWS:
-            gate_full = lora.quant_matmul(
-                x, g_i8, g_scale, (*x.shape[:-1], 2, self.hidden_dim)
-            )
-        else:
+        if gate_full is None:
             gate_full = jnp.einsum("...F,GHF->...GH", x, w_gating)
         hidden = jax.nn.gelu(gate_full[..., 0, :]) * gate_full[..., 1, :]
         w_linear_raw = self.param(
             "linear", nn.initializers.lecun_normal(), (self.hidden_dim, self.features)
         )
         w_linear = w_linear_raw.astype(dtype)
-        if quantize:
-            l_i8, l_scale = lora.quant_vars(self, "linear_", w_linear_raw, (0, 1), 1)
-        if quantize and rows <= lora.QUANT_MAX_ROWS:
-            out = lora.quant_matmul(
-                hidden, l_i8, l_scale, (*x.shape[:-1], self.features)
-            )
-        else:
+        out = lora.quant_dispatch(
+            self, "linear_", w_linear_raw, (0, 1), 1,
+            quant=self.quant, lora_config=self.lora_config, x=hidden,
+            out_shape=(*x.shape[:-1], self.features),
+        )
+        if out is None:
             out = jnp.einsum("...H,HF->...F", hidden, w_linear)
         if self.lora_config is not None:
             cfg = self.lora_config

@@ -249,6 +249,11 @@ class LAPGemma3(LAP):
                 ).astype(jnp.int32),
                 lambda: jnp.argmax(last_logit, axis=-1).astype(jnp.int32),
             )
+            # Rows that already emitted EOS must stop writing: in a coalesced
+            # batch the while_loop keeps running until *every* row finishes,
+            # and unmasked writes would fill early-finishing rows with
+            # continuation text (same fix as LAP.sample_tokens).
+            token = jnp.where(eos_mask[:, None], jnp.zeros_like(token), token)
             output_tokens = put_along_last_axis(
                 output_tokens, jnp.broadcast_to(step_i, (b, 1)), token
             )

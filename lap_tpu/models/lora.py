@@ -101,6 +101,36 @@ def quant_matmul(x, w_i8, scale, out_shape):
     return y2d.reshape(out_shape)
 
 
+def quant_dispatch(
+    mdl: nn.Module,
+    prefix: str,
+    w_raw,
+    w_perm,
+    n_contract: int,
+    *,
+    quant: str | None,
+    lora_config,
+    x,
+    out_shape,
+):
+    """Per-weight quantized-matmul dispatch.
+
+    Gates on THIS weight's own element count (each weight must pay for the
+    kernel's fixed cost itself), declares the int8/scale variable pair when
+    gated, and streams decode-shaped calls (rows <= QUANT_MAX_ROWS) through
+    the Pallas kernel. Returns the kernel output, or None when the caller
+    should take its exact bf16 einsum instead. Variable declaration happens
+    whenever the weight gates — independent of the row budget — so the
+    module's variable structure is call-shape invariant.
+    """
+    if not quant_enabled(quant, lora_config, w_raw.size):
+        return None
+    w_i8, scale = quant_vars(mdl, prefix, w_raw, w_perm, n_contract)
+    if math.prod(x.shape[:-1]) > QUANT_MAX_ROWS:
+        return None
+    return quant_matmul(x, w_i8, scale, out_shape)
+
+
 @dataclasses.dataclass(frozen=True)
 class LoRAConfig:
     rank: int
@@ -199,18 +229,14 @@ class FeedForward(nn.Module):
             (2, self.features, self.hidden_dim),
         )
         w_gating = w_gating_raw.astype(dtype)
-        quantize = quant_enabled(
-            self.quant, self.lora_config, 2 * self.features * self.hidden_dim
+        # [2, D, F] -> [D, 2F] so both projections stream in one kernel.
+        gates_q = quant_dispatch(
+            self, "gating_", w_gating_raw, (1, 0, 2), 1,
+            quant=self.quant, lora_config=self.lora_config, x=x,
+            out_shape=(*x.shape[:-1], 2, self.hidden_dim),
         )
-        if quantize:
-            # [2, D, F] -> [D, 2F] so both projections stream in one kernel.
-            g_i8, g_scale = quant_vars(self, "gating_", w_gating_raw, (1, 0, 2), 1)
-        rows = math.prod(x.shape[:-1])
-        if quantize and rows <= QUANT_MAX_ROWS:
-            gates = quant_matmul(
-                x, g_i8, g_scale, (*x.shape[:-1], 2, self.hidden_dim)
-            )
-            gate_pre, up = gates[..., 0, :], gates[..., 1, :]
+        if gates_q is not None:
+            gate_pre, up = gates_q[..., 0, :], gates_q[..., 1, :]
         else:
             # One einsum with the gate/up pair as a batch dim, NOT two dots on
             # static slices: under scan-stacked layers the per-layer
@@ -240,11 +266,12 @@ class FeedForward(nn.Module):
             (self.hidden_dim, self.features),
         )
         w_linear = w_linear_raw.astype(dtype)
-        if quantize:
-            l_i8, l_scale = quant_vars(self, "linear_", w_linear_raw, (0, 1), 1)
-        if quantize and rows <= QUANT_MAX_ROWS:
-            out = quant_matmul(act, l_i8, l_scale, (*x.shape[:-1], self.features))
-        else:
+        out = quant_dispatch(
+            self, "linear_", w_linear_raw, (0, 1), 1,
+            quant=self.quant, lora_config=self.lora_config, x=act,
+            out_shape=(*x.shape[:-1], self.features),
+        )
+        if out is None:
             out = act @ w_linear
         if self.lora_config is not None:
             cfg = self.lora_config

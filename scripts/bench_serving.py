@@ -42,9 +42,14 @@ def _fake_obs(rng, image_size: int, state_dim: int, prompt: str) -> dict:
     }
 
 
-def _robot_loop(host: str, port: int, seconds: float, args) -> list[tuple[float, int]]:
+def _robot_loop(
+    host: str, port: int, seconds: float, args
+) -> tuple[list[tuple[float, int]], float]:
     """One simulated robot: request, wait for the chunk, repeat. Returns
-    (latency_s, batch_size) per completed request."""
+    ((latency_s, batch_size) per completed request, measured_span_s). The
+    span starts AFTER the warmup request (whose first-shape compile can take
+    tens of seconds) so throughput is counted over the same window as the
+    requests it divides."""
     from lap_tpu.serving.websocket_client_policy import WebsocketClientPolicy
 
     rng = np.random.default_rng(port)
@@ -53,15 +58,17 @@ def _robot_loop(host: str, port: int, seconds: float, args) -> list[tuple[float,
     # Warmup request (first-shape compile happens here, off the clock).
     client.infer(obs)
     out = []
-    deadline = time.monotonic() + seconds
+    start = time.monotonic()
+    deadline = start + seconds
     while time.monotonic() < deadline:
         t0 = time.monotonic()
         result = client.infer(obs)
         dt = time.monotonic() - t0
         timing = result.get("policy_timing", {})
         out.append((dt, int(timing.get("batch_size", 1))))
+    span = time.monotonic() - start
     client.close()
-    return out
+    return out, span
 
 
 def main():
@@ -75,23 +82,26 @@ def main():
     parser.add_argument("--prompt", default="pick up the cup")
     args = parser.parse_args()
 
-    t0 = time.monotonic()
     with ThreadPoolExecutor(args.robots) as ex:
         futs = [
             ex.submit(_robot_loop, args.host, args.port, args.seconds, args)
             for _ in range(args.robots)
         ]
-        per_robot = [f.result() for f in futs]
-    wall = time.monotonic() - t0
+        results = [f.result() for f in futs]
+    per_robot = [r for r, _ in results]
 
     latencies = np.array([dt for robot in per_robot for dt, _ in robot])
     sizes = Counter(bs for robot in per_robot for _, bs in robot)
     n = int(latencies.size)
+    # Each robot's rate over ITS measured window (post-warmup); connection
+    # setup and the first-shape compile are excluded by construction.
+    robot_hz = [len(r) / span for r, span in results if span > 0]
+    hz_per_robot = float(np.mean(robot_hz)) if robot_hz else 0.0
     record = {
         "robots": args.robots,
         "requests": n,
-        "hz_per_robot": round(n / args.robots / wall, 2),
-        "hz_aggregate": round(n / wall, 2),
+        "hz_per_robot": round(hz_per_robot, 2),
+        "hz_aggregate": round(hz_per_robot * args.robots, 2),
         "latency_ms_p50": round(float(np.percentile(latencies, 50)) * 1e3, 1),
         "latency_ms_p95": round(float(np.percentile(latencies, 95)) * 1e3, 1),
         "batch_sizes": {str(k): v for k, v in sorted(sizes.items())},

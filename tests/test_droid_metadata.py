@@ -116,6 +116,17 @@ def test_success_and_instruction_filters(meta_dir):
     assert fn(no_instr) is None
 
 
+def test_annotations_without_id_map_is_permissive(meta_dir):
+    """Annotations present but episode_id_to_path.json absent: the filter
+    cannot be keyed (every episode_id() is ""), so it must degrade to
+    permissive instead of silently dropping EVERY trajectory."""
+    mdir = meta_dir.parent / "metadata"
+    (mdir / "episode_id_to_path.json").unlink()
+    fn = make_droid_standardize_fn(meta_dir, seed=0)
+    ok = _episode(file_path="gs://b/r2d2-data/TRI/success/2023-07-01/run0/trajectory.h5")
+    assert fn(ok) is not None
+
+
 def test_instruction_chosen_from_trajectorys_own_fields(meta_dir):
     # The reference shuffles the traj's three language fields and picks one
     # (droid_dataset.py:113-120); the annotation file is never a source.

@@ -151,6 +151,63 @@ def test_lap_gemma3_end_to_end():
     assert toks.shape == (b, 6)
 
 
+def test_lap_gemma3_batched_rows_stop_at_eos():
+    """Gemma3-backbone twin of test_sample_tokens_batched_rows_stop_at_eos:
+    rows that already emitted EOS must keep writing 0 while the coalesced
+    batch's other rows finish (micro-batched AR serving relies on this)."""
+    from lap_tpu.models.lap_gemma3 import LAPGemma3
+
+    cfg = LAPConfig(
+        dtype="float32",
+        paligemma_variant="gemma3_dummy",
+        action_expert_variant="gemma3_dummy",
+        siglip_variant="dummy",
+        action_dim=7,
+        action_horizon=4,
+        max_token_len=80,
+        image_resolution=(56, 56),
+        enable_action_training=True,
+        enable_langact_training=True,
+    )
+    model = cfg.create_module()
+    b = 4
+    obs = cfg.fake_obs(b)
+    tok = np.full((b, cfg.max_token_len), 5, np.int32)
+    tok[:, 0] = 2
+    tok[:, 4:20] = GEMMA3_IMAGE_TOKEN
+    tok[:, 24:40] = GEMMA3_IMAGE_TOKEN
+    # Vary the prompt per row so greedy continuations differ across rows.
+    tok[:, 40] = 5 + np.arange(b)
+    obs = obs.replace(tokenized_prompt=jnp.asarray(tok))
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(0), method=model.init_params_fn
+    )
+    greedy = np.asarray(
+        model.apply(
+            params, jax.random.PRNGKey(0), obs, max_decoding_steps=12,
+            method=model.sample_tokens,
+        )
+    )
+    eos_token = int(greedy[0, 0])
+    model2 = LAPGemma3(config=cfg, EOS_TOKEN=eos_token)
+    toks = np.asarray(
+        model2.apply(
+            params, jax.random.PRNGKey(0), obs, max_decoding_steps=12,
+            method=model2.sample_tokens,
+        )
+    )
+    first_eos = []
+    for row in toks:
+        hits = np.nonzero(row == eos_token)[0]
+        first_eos.append(int(hits[0]) if hits.size else None)
+        if hits.size:
+            assert (row[int(hits[0]) + 1 :] == 0).all(), (
+                f"post-EOS tokens written: {row}"
+            )
+    assert first_eos[0] == 0
+    assert any(p is None or p > 0 for p in first_eos[1:]), first_eos
+
+
 def test_lap_gemma3_init_params_fn_needs_placeholders():
     """init_params_fn must create all params even with placeholder images."""
     cfg = LAPConfig(
