@@ -9,6 +9,7 @@ from lap_tpu.parallel.mesh import (
     make_mesh,
     pick_fsdp_devices,
     replicated,
+    sequence_parallel_enabled,
     set_mesh,
 )
 from lap_tpu.parallel.sharding import fsdp_sharding
@@ -25,5 +26,6 @@ __all__ = [
     "make_mesh",
     "pick_fsdp_devices",
     "replicated",
+    "sequence_parallel_enabled",
     "set_mesh",
 ]

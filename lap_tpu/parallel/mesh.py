@@ -60,6 +60,7 @@ def default_devices() -> list:
 
 class _MeshState(threading.local):
     mesh: Mesh | None = None
+    sequence_parallel: bool = False
 
 
 _STATE = _MeshState()
@@ -165,19 +166,35 @@ def pick_fsdp_devices(requested: int, n_devices: int | None = None) -> int:
 
 
 @contextlib.contextmanager
-def set_mesh(mesh: Mesh):
-    """Make ``mesh`` the ambient mesh for activation sharding constraints."""
+def set_mesh(mesh: Mesh, *, sequence_parallel: bool = False):
+    """Make ``mesh`` the ambient mesh for activation sharding constraints.
+
+    ``sequence_parallel=True`` additionally shards the token dim of rank-3
+    activations over the tp axis (Megatron-SP style): the residual stream
+    between attention/MLP regions lives sequence-sharded, so GSPMD replaces
+    each tp all-reduce with a reduce-scatter + all-gather pair placed around
+    the (per-token) norm regions — same bytes on the wire, 1/tp of the
+    activation memory between regions. Numerically identical to tp-only.
+    """
     if _STATE.mesh is not None:
         raise ValueError("A mesh is already active; nesting is not supported.")
+    if sequence_parallel and mesh.shape.get(TP_AXIS, 1) <= 1:
+        sequence_parallel = False  # sp is a tp layout refinement; no-op without tp.
     _STATE.mesh = mesh
+    _STATE.sequence_parallel = sequence_parallel
     try:
         yield
     finally:
         _STATE.mesh = None
+        _STATE.sequence_parallel = False
 
 
 def get_mesh() -> Mesh | None:
     return _STATE.mesh
+
+
+def sequence_parallel_enabled() -> bool:
+    return _STATE.mesh is not None and _STATE.sequence_parallel
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
@@ -192,15 +209,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def activation_sharding_constraint(pytree):
     """Constrain leading (batch) dim of every leaf to the data axes.
 
+    Under ``set_mesh(..., sequence_parallel=True)`` rank-3 ``[B, T, D]``
+    leaves whose token dim divides the tp size are additionally sharded
+    ``[B@data, T@tp, D]`` (Megatron-SP residual layout). Leaves with
+    non-divisible or short token dims (e.g. the action-expert suffix) keep
+    the batch-only constraint, so mixed prefix/suffix lists stay valid.
+
     No-op outside a ``set_mesh`` scope so model code runs unchanged in
     single-device unit tests.
     """
     mesh = get_mesh()
     if mesh is None:
         return pytree
-    return jax.lax.with_sharding_constraint(
-        pytree, NamedSharding(mesh, PartitionSpec(DATA_AXES))
-    )
+    batch_only = NamedSharding(mesh, PartitionSpec(DATA_AXES))
+    if not _STATE.sequence_parallel:
+        return jax.lax.with_sharding_constraint(pytree, batch_only)
+    tp = mesh.shape.get(TP_AXIS, 1)
+    seq_sharded = NamedSharding(mesh, PartitionSpec(DATA_AXES, TP_AXIS))
+
+    def constrain(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) == 3 and shape[1] >= tp and shape[1] % tp == 0:
+            return jax.lax.with_sharding_constraint(leaf, seq_sharded)
+        return jax.lax.with_sharding_constraint(leaf, batch_only)
+
+    return jax.tree.map(constrain, pytree)
 
 
 def logical_to_sharding(mesh: Mesh, *axes: str | None) -> NamedSharding:

@@ -252,6 +252,11 @@ class TrainConfig:
 
     fsdp_devices: int = 1
     tp_devices: int = 1
+    # Megatron-style sequence parallelism: with tp_devices > 1, keep the
+    # residual stream token-sharded over the tp axis between attention/MLP
+    # regions (reduce-scatter + all-gather instead of all-reduce; 1/tp the
+    # inter-region activation memory). Numerically identical to tp-only.
+    sequence_parallel: bool = False
     param_dtype: str = "float32"
 
     checkpoint_base_dir: str = "./checkpoints"

@@ -192,7 +192,7 @@ def main(config: _config.TrainConfig) -> None:
         log_dir=config.checkpoint_dir, wandb_enabled=config.wandb_enabled,
         project=config.project_name, exp_name=f"{config.exp_name}-eval",
     )
-    with set_mesh(mesh):
+    with set_mesh(mesh, sequence_parallel=config.sequence_parallel):
         for step in steps:
             for ds_name, loader in loaders.items():
                 scalars = evaluate_checkpoint(

@@ -69,7 +69,7 @@ def init_train_state(config, steps, mesh, resuming: bool):
 
     loader = config.weight_loader.build()
     init = jax.jit(steps.init_fn, out_shardings=state_sharding)
-    with set_mesh(mesh):
+    with set_mesh(mesh, sequence_parallel=config.sequence_parallel):
         state = init(jax.random.PRNGKey(config.seed))
     if loader is not None:
         params_shape = jax.tree.map(
@@ -245,7 +245,7 @@ def main(config: _config.TrainConfig) -> None:
     rng = jax.random.PRNGKey(config.seed)
     start_step = int(state.step)
     first_batch_visualized = False
-    with set_mesh(mesh):
+    with set_mesh(mesh, sequence_parallel=config.sequence_parallel):
         for step in range(start_step, config.num_train_steps):
             if trace_dir and step == start_step + 3:
                 jax.profiler.start_trace(trace_dir)
