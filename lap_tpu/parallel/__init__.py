@@ -12,6 +12,12 @@ from lap_tpu.parallel.mesh import (
     sequence_parallel_enabled,
     set_mesh,
 )
+from lap_tpu.parallel.pipeline import (
+    PP_AXIS,
+    make_pp_mesh,
+    pipeline_apply,
+    stage_params_sharding,
+)
 from lap_tpu.parallel.sharding import fsdp_sharding
 
 __all__ = [
@@ -24,6 +30,10 @@ __all__ = [
     "fsdp_sharding",
     "get_mesh",
     "make_mesh",
+    "make_pp_mesh",
+    "PP_AXIS",
+    "pipeline_apply",
+    "stage_params_sharding",
     "pick_fsdp_devices",
     "replicated",
     "sequence_parallel_enabled",
