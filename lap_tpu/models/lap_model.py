@@ -260,7 +260,13 @@ class LAP(nn.Module):
         b = obs.state.shape[0]
         stacked = jnp.concatenate([obs.images[n] for n in names], axis=0)
         img_tokens_all = self.img(stacked, train=False)
-        per_cam = jnp.split(img_tokens_all, len(names), axis=0)
+        # Pin each per-camera slice to the data-axes layout: without this, the
+        # sp-constrained ViT output meets a batch-axis dynamic-slice and SPMD
+        # falls back to involuntary full rematerialization of the slice.
+        per_cam = [
+            activation_sharding_constraint(t)
+            for t in jnp.split(img_tokens_all, len(names), axis=0)
+        ]
 
         tokens, input_mask, ar_mask = [], [], []
         for name, img_tokens in zip(names, per_cam, strict=True):
