@@ -18,6 +18,7 @@ from lap_tpu.models import gemma3 as _gemma3
 from lap_tpu.models import siglip as _siglip
 from lap_tpu.models.lap_model import LAP, put_along_last_axis
 from lap_tpu.models.preprocessing import preprocess_observation
+from lap_tpu.parallel.mesh import activation_sharding_constraint
 from lap_tpu.models.tokenizer import (
     GEMMA3_EOS_TOKEN,
     GEMMA3_IMAGE_TOKEN,
@@ -111,7 +112,15 @@ class LAPGemma3(LAP):
         b = obs.state.shape[0]
         stacked = jnp.concatenate([obs.images[n] for n in names], axis=0)
         tokens_all = self.img(stacked, train=False)
-        per_cam = jnp.split(tokens_all, len(names), axis=0)
+        # Route each per-camera slice through activation_sharding_constraint
+        # (batch over data axes; token dim over tp under sequence
+        # parallelism): the sp-constrained ViT output otherwise meets a
+        # batch-axis dynamic-slice and SPMD falls back to involuntary full
+        # rematerialization of the slice (same fix as LAP.embed_prefix).
+        per_cam = [
+            activation_sharding_constraint(t)
+            for t in jnp.split(tokens_all, len(names), axis=0)
+        ]
         toks, masks = [], []
         for name, tok in zip(names, per_cam, strict=True):
             toks.append(tok)

@@ -260,9 +260,11 @@ class LAP(nn.Module):
         b = obs.state.shape[0]
         stacked = jnp.concatenate([obs.images[n] for n in names], axis=0)
         img_tokens_all = self.img(stacked, train=False)
-        # Pin each per-camera slice to the data-axes layout: without this, the
-        # sp-constrained ViT output meets a batch-axis dynamic-slice and SPMD
-        # falls back to involuntary full rematerialization of the slice.
+        # Route each per-camera slice through activation_sharding_constraint
+        # (batch over the data axes; token dim over tp under sequence
+        # parallelism when it divides): without this, the sp-constrained ViT
+        # output meets a batch-axis dynamic-slice and SPMD falls back to
+        # involuntary full rematerialization of the slice.
         per_cam = [
             activation_sharding_constraint(t)
             for t in jnp.split(img_tokens_all, len(names), axis=0)
