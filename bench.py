@@ -223,31 +223,31 @@ def bench_ar_decode(cfg, on_tpu: bool, key_prefix: str = "ar") -> dict:
     per_token = max((t_full - t_small) / (budgets[1] - budgets[0]), 1e-9)
     overhead = max(t_small - budgets[0] * per_token, 0.0)
 
-    if key_prefix != "ar":
-        # Secondary (quantized) run: decode throughput + worst case only.
-        return {
-            f"{key_prefix}_tokens_per_sec": round(1.0 / per_token, 1),
-            f"{key_prefix}_full_budget_ms": round(t_full * 1e3, 1),
-        }
-
     # Tokens for one typical parsed language action (verbose_with_rotation
-    # summary text + EOS), counted with the serving tokenizer.
+    # summary text + EOS), counted with the serving tokenizer. Every AR
+    # variant (bf16 / int8 / int8+bucketed prefill) reports the rate at
+    # which one such language action can be served: 1 / (prefill+overhead
+    # + n_langact * per_token).
     from lap_tpu.models.tokenizer import PaligemmaTokenizer
 
     text = "move forward 5 cm, tilt left 10 degrees, close gripper"
     proc = PaligemmaTokenizer(cfg.max_token_len)._tokenizer
     n_langact = len(proc.encode(text)) + 1
     t_langact = overhead + n_langact * per_token
-    return {
-        "ar_tokens_per_sec": round(1.0 / per_token, 1),
-        "ar_full_budget_ms": round(t_full * 1e3, 1),
-        "ar_langact_tokens": n_langact,
-        # Which vocabulary counted the tokens: piece counts from the
-        # built-in test vocab approximate (but do not equal) the real
-        # PaliGemma segmentation of the sample action text.
-        "ar_langact_vocab": "test" if getattr(proc, "is_test_vocab", True) else "real",
-        "ar_langact_hz": round(1.0 / t_langact, 2),
+    out = {
+        f"{key_prefix}_tokens_per_sec": round(1.0 / per_token, 1),
+        f"{key_prefix}_full_budget_ms": round(t_full * 1e3, 1),
+        f"{key_prefix}_langact_hz": round(1.0 / t_langact, 2),
     }
+    if key_prefix == "ar":
+        out.update(
+            ar_langact_tokens=n_langact,
+            # Which vocabulary counted the tokens: piece counts from the
+            # built-in test vocab approximate (but do not equal) the real
+            # PaliGemma segmentation of the sample action text.
+            ar_langact_vocab="test" if getattr(proc, "is_test_vocab", True) else "real",
+        )
+    return out
 
 
 def _fake_train_batch(cfg, batch: int):
@@ -697,6 +697,24 @@ def main():
         )
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["ar_int8_skipped"] = str(e)[:120]
+    try:
+        # COMPOSED AR serving point (serve_policy --quantize int8
+        # --token_bucket 64): int8 decode + prompt-length bucketing — the
+        # bucketed prefill sees exactly the 64-token shape the serving
+        # _trim_token_pad produces for a typical robot prompt, so
+        # ar_int8_bucket64_langact_hz is the language-action rate of the
+        # fully-composed serving stack (round-4 VERDICT ask #2).
+        import dataclasses as _dc
+
+        cfg_i8b = _dc.replace(
+            _flagship_cfg(on_tpu, quant="int8"),
+            max_token_len=64 if on_tpu else 16,
+        )
+        record.update(
+            bench_ar_decode(cfg_i8b, on_tpu, key_prefix="ar_int8_bucket64")
+        )
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        record["ar_int8_bucket64_skipped"] = str(e)[:120]
     record.update(bench_train_step(on_tpu))
     record.update(bench_train_with_input(on_tpu))
     record.update(bench_loader())

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from lap_tpu.models import lora
 from lap_tpu.ops.attention import attention
-from lap_tpu.parallel.mesh import activation_sharding_constraint
+from lap_tpu.parallel.mesh import activation_sharding_constraint, suspend_mesh
+from lap_tpu.parallel.pipeline import current_pipeline, pipeline_apply
 
 PALIGEMMA_VOCAB_SIZE = 257_152
 
@@ -448,7 +449,11 @@ class Module(nn.Module):
                 block_cls = nn.remat(
                     Block,
                     prevent_cse=False,
-                    static_argnums=(5,),
+                    # __call__ args counting self at 0: deterministic is 6.
+                    # (5 would mark adarms_cond, leaving the deterministic
+                    # bool traced — a TracerBoolConversionError the moment
+                    # dropout > 0 puts a Python `if` on it.)
+                    static_argnums=(6,),
                     policy=getattr(jax.checkpoint_policies, self.remat_policy),
                 )
             self.layers = nn.scan(
@@ -499,7 +504,21 @@ class Module(nn.Module):
         # the activation side in the scan backward and falls into involuntary
         # full rematerializations (norm reduce_sum / silu add_any reshards).
         adarms_cond = activation_sharding_constraint(adarms_cond)
-        if self.scan_layers:
+        pipe = (
+            current_pipeline()
+            if self.scan_layers and kv_cache is None and not self.is_initializing()
+            else None
+        )
+        if pipe is not None:
+            # GPipe pipeline parallelism (set_pipeline context active):
+            # the scanned block stack runs stage-sharded over the mesh's pp
+            # axis. Training forward only — no KV cache is materialized
+            # (decode paths never run under a pipeline context).
+            embedded = self._pipelined_layers(
+                pipe, embedded, positions, mask, adarms_cond, deterministic
+            )
+            kv_cache = None
+        elif self.scan_layers:
             embedded, kv_cache = self.layers(
                 embedded, kv_cache, positions, mask, adarms_cond, deterministic
             )
@@ -522,6 +541,68 @@ class Module(nn.Module):
             for f, e, a in zip(self.final_norms, embedded, adarms_cond, strict=True)
         ]
         return out, kv_cache
+
+    def _pipelined_layers(
+        self, pipe, embedded, positions, mask, adarms_cond, deterministic
+    ):
+        """Run the block stack as a GPipe pipeline over ``pipe.mesh``'s pp axis.
+
+        The scan-stacked ``layers`` params (leading ``[depth]`` axis — exactly
+        the layout ``pipeline_apply`` wants) are read from this module's
+        variables and fed through ``parallel.pipeline.pipeline_apply``; one
+        pipeline stage is a plain (unscanned, un-remat'd) ``Block`` applied
+        functionally, with remat re-applied per layer by ``pipeline_apply``
+        itself. Masks/positions/adaRMS conditioning travel with each
+        microbatch through the stage-to-stage permutes. Activation sharding
+        constraints inside the blocks are suspended: per-device code inside
+        ``shard_map`` has no global view for them to act on.
+        """
+        if self.dropout and not deterministic:
+            raise ValueError(
+                "pipeline parallelism supports deterministic forwards only "
+                "(dropout rngs cannot thread through the stage shard_map)"
+            )
+        stacked = self.variables["params"]["layers"]
+        block = Block(
+            configs=tuple(self.configs),
+            dropout=0.0,
+            stop_action_to_vlm_grad=self.stop_action_to_vlm_grad,
+            cache_dtype=self.cache_dtype,
+            attn_impl=self.attn_impl,
+            quant=self.quant,
+            # Detached standalone module (not a registered submodule): the
+            # stage applies it functionally on per-layer param slices.
+            parent=None,
+        )
+
+        def stage(layer_params, mb):
+            with suspend_mesh():
+                xs, _ = block.apply(
+                    {"params": layer_params},
+                    mb["xs"],
+                    None,
+                    mb["positions"],
+                    mb["mask"],
+                    mb["adarms"],
+                    True,
+                )
+            return {**mb, "xs": xs}
+
+        carry = {
+            "xs": list(embedded),
+            "positions": positions,
+            "mask": mask,
+            "adarms": list(adarms_cond),
+        }
+        out = pipeline_apply(
+            stage,
+            stacked,
+            carry,
+            mesh=pipe.mesh,
+            n_microbatches=pipe.n_microbatches,
+            remat=self.remat_policy != "none",
+        )
+        return out["xs"]
 
     def init_params(self, use_adarms: Sequence[bool]):
         """Initialize every parameter (linen requires touching all paths)."""

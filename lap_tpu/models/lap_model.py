@@ -264,11 +264,15 @@ class LAP(nn.Module):
         # (batch over the data axes; token dim over tp under sequence
         # parallelism when it divides): without this, the sp-constrained ViT
         # output meets a batch-axis dynamic-slice and SPMD falls back to
-        # involuntary full rematerialization of the slice.
-        per_cam = [
-            activation_sharding_constraint(t)
-            for t in jnp.split(img_tokens_all, len(names), axis=0)
-        ]
+        # involuntary full rematerialization of the slice. Under a pipeline
+        # context the pins are skipped: pp never composes with tp/sp (the
+        # case they fix), and on a pp mesh the pins themselves become the
+        # conflict site between the ViT backward's propagated sharding and
+        # the (dp, fsdp) batch layout.
+        from lap_tpu.parallel.pipeline import current_pipeline
+
+        pin = (lambda t: t) if current_pipeline() else activation_sharding_constraint
+        per_cam = [pin(t) for t in jnp.split(img_tokens_all, len(names), axis=0)]
 
         tokens, input_mask, ar_mask = [], [], []
         for name, img_tokens in zip(names, per_cam, strict=True):

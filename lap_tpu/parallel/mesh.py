@@ -34,6 +34,7 @@ logger = logging.getLogger(__name__)
 BATCH_AXIS = "dp"
 FSDP_AXIS = "fsdp"
 TP_AXIS = "tp"
+PP_AXIS = "pp"
 
 # Data (batch dim) shards over dp AND fsdp: FSDP groups also act as extra
 # data-parallel replicas (ZeRO-3 style), mirroring the reference DATA_AXIS
@@ -85,19 +86,59 @@ class MeshConfig:
 def make_mesh(
     fsdp_devices: int = 1,
     tp_devices: int = 1,
+    pp_devices: int = 1,
     *,
     devices: list | None = None,
 ) -> Mesh:
-    """Build a ``Mesh`` with axes ``(dp, fsdp, tp)``.
+    """Build a ``Mesh`` with axes ``(dp, fsdp, tp)`` — or, with
+    ``pp_devices > 1``, ``(dp, pp, fsdp, tp)``.
 
     The physical device order (from ``mesh_utils.create_device_mesh`` when
     possible) is reshaped so that the tp axis varies fastest (tightest ICI
     neighborhood), then fsdp, then dp. This keeps each FSDP all-gather /
     reduce-scatter and each TP collective on physically adjacent chips.
+
+    With pipeline parallelism the (dp, fsdp) data axes stay contiguous and
+    innermost (the batch's data sharding and the within-stage weight gathers
+    move the most bytes and must ride the tightest links; SPMD also reshards
+    to/from contiguous tilings efficiently) while pp takes the outermost
+    stride — its stage-to-stage ppermute moves one microbatch of activations
+    per tick, the smallest collective in the step. pp does not compose with
+    tp>1: the pipeline stages run inside ``jax.shard_map`` where the GSPMD
+    tp propagation that tp relies on is unavailable (see
+    ``lap_tpu/parallel/pipeline.py``).
     """
     if devices is None:
         devices = default_devices()
     n = len(devices)
+    if pp_devices > 1:
+        if tp_devices > 1:
+            raise ValueError(
+                "pp_devices > 1 does not compose with tp_devices > 1 (the "
+                "pipeline runs inside shard_map, outside GSPMD tp "
+                "propagation); use pp x fsdp x dp"
+            )
+        model_devices = fsdp_devices * pp_devices
+        if n % model_devices != 0:
+            raise ValueError(
+                f"{n} devices not divisible by fsdp_devices*pp_devices ="
+                f" {fsdp_devices}*{pp_devices}"
+            )
+        dp = n // model_devices
+        # pp OUTERMOST: (dp, fsdp) stay contiguous in the device order so
+        # the batch's PartitionSpec((dp, fsdp)) tiles over adjacent devices
+        # (SPMD reshards to/from it efficiently — a (dp, pp, fsdp) order
+        # makes every data<->model resharding cross the pp stride and SPMD
+        # falls back to involuntary full rematerialization in the ViT
+        # backward). Stage-to-stage ppermute traffic (one microbatch of
+        # activations per tick, the smallest collective here) takes the
+        # outer stride instead.
+        shape = (pp_devices, dp, fsdp_devices, 1)
+        try:
+            dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+        except Exception:  # noqa: BLE001 - CPU/virtual meshes can reject topology hints
+            dev_array = np.asarray(devices).reshape(shape)
+        return Mesh(dev_array, (PP_AXIS, BATCH_AXIS, FSDP_AXIS, TP_AXIS))
     model_devices = fsdp_devices * tp_devices
     if n % model_devices != 0:
         raise ValueError(
@@ -166,7 +207,12 @@ def pick_fsdp_devices(requested: int, n_devices: int | None = None) -> int:
 
 
 @contextlib.contextmanager
-def set_mesh(mesh: Mesh, *, sequence_parallel: bool = False):
+def set_mesh(
+    mesh: Mesh,
+    *,
+    sequence_parallel: bool = False,
+    pipeline_microbatches: int | None = None,
+):
     """Make ``mesh`` the ambient mesh for activation sharding constraints.
 
     ``sequence_parallel=True`` additionally shards the token dim of rank-3
@@ -175,6 +221,11 @@ def set_mesh(mesh: Mesh, *, sequence_parallel: bool = False):
     each tp all-reduce with a reduce-scatter + all-gather pair placed around
     the (per-token) norm regions — same bytes on the wire, 1/tp of the
     activation memory between regions. Numerically identical to tp-only.
+
+    ``pipeline_microbatches`` (with a mesh carrying a ``pp`` axis of size
+    >= 2) additionally enters the pipeline context (``pipeline.set_pipeline``)
+    so ``gemma.Module`` training forwards traced inside this scope run their
+    layer stacks as a GPipe pipeline.
     """
     if _STATE.mesh is not None:
         raise ValueError("A mesh is already active; nesting is not supported.")
@@ -183,10 +234,32 @@ def set_mesh(mesh: Mesh, *, sequence_parallel: bool = False):
     _STATE.mesh = mesh
     _STATE.sequence_parallel = sequence_parallel
     try:
-        yield
+        if pipeline_microbatches and mesh.shape.get(PP_AXIS, 1) > 1:
+            from lap_tpu.parallel.pipeline import set_pipeline
+
+            with set_pipeline(mesh, pipeline_microbatches):
+                yield
+        else:
+            yield
     finally:
         _STATE.mesh = None
         _STATE.sequence_parallel = False
+
+
+@contextlib.contextmanager
+def suspend_mesh():
+    """Temporarily clear the ambient mesh so activation sharding constraints
+    become no-ops. Used while tracing code INSIDE ``jax.shard_map`` (the
+    pipeline-parallel stage body): per-device code there has no global view
+    for ``with_sharding_constraint`` to act on."""
+    saved_mesh, saved_sp = _STATE.mesh, _STATE.sequence_parallel
+    _STATE.mesh = None
+    _STATE.sequence_parallel = False
+    try:
+        yield
+    finally:
+        _STATE.mesh = saved_mesh
+        _STATE.sequence_parallel = saved_sp
 
 
 def get_mesh() -> Mesh | None:

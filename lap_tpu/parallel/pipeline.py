@@ -13,11 +13,26 @@ at the output so ``jax.grad`` through the whole thing yields exact gradients
 (the backward pass is the transposed permutation, which jax derives
 automatically from ``ppermute``).
 
-Composition: the mesh may carry a data axis alongside ``pp`` (built by
-``make_pp_mesh``); batches shard over ``dp`` while parameters shard over
-``pp``, so pp multiplies with data parallelism the same way fsdp/tp do in
-``mesh.py``. Within a stage, layers run under ``lax.scan`` with optional
-rematerialization, mirroring the non-pipelined training path.
+Composition:
+
+- **dp**: the mesh may carry a data axis alongside ``pp`` (``make_pp_mesh``
+  or ``mesh.make_mesh(pp_devices=N)``); batches shard over the data axes
+  while layer parameters shard over ``pp``.
+- **fsdp within a stage** (ZeRO-3): on a mesh with an ``fsdp`` axis, each
+  stage's ``[L/P, ...]`` parameter slices are ADDITIONALLY stored sharded
+  over fsdp along their largest divisible non-layer dim and all-gathered
+  per layer inside the stage scan, so peak weight memory per device is
+  ``layer_bytes * L/P / fsdp + one gathered layer``. The gather's transpose
+  (``psum_scatter``) returns exact fsdp-sharded gradients. The batch shards
+  over (dp, fsdp) jointly, mirroring the non-pipelined DATA_AXES layout.
+- **tp**: NOT composed — the stages run inside ``shard_map`` where GSPMD's
+  tp propagation is unavailable; ``mesh.make_mesh`` rejects pp x tp.
+
+Trainer integration: ``set_pipeline(mesh, n_microbatches)`` makes the
+pipeline the ambient layer-stack executor; ``gemma.Module.__call__`` routes
+its scanned blocks through ``pipeline_apply`` whenever a pipeline context is
+active (training forward only — KV-cache decode paths keep the serial
+stack). ``scripts/train.py --pp_devices N`` drives this end to end.
 
 Use when a model's depth no longer fits a single FSDP group's HBM even with
 full remat, or to keep weights resident across a pod slice without FSDP's
@@ -27,6 +42,9 @@ weights (large).
 
 from __future__ import annotations
 
+import contextlib
+import dataclasses
+import threading
 from collections.abc import Callable
 
 import jax
@@ -34,14 +52,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-PP_AXIS = "pp"
-PP_DATA_AXIS = "dp"
+from lap_tpu.parallel.mesh import BATCH_AXIS, FSDP_AXIS, PP_AXIS, TP_AXIS
+
+PP_DATA_AXIS = BATCH_AXIS
 
 
 def make_pp_mesh(pp_devices: int, *, devices: list | None = None) -> Mesh:
     """A ``(dp, pp)`` mesh: the trailing (fastest-varying, tightest-ICI) axis
     is ``pp`` so stage-to-stage ``ppermute`` hops ride neighbor links; the
-    leading remainder is data parallelism."""
+    leading remainder is data parallelism. For pp WITH within-stage fsdp use
+    ``mesh.make_mesh(fsdp_devices=..., pp_devices=...)`` instead."""
     if devices is None:
         from lap_tpu.parallel.mesh import default_devices
 
@@ -55,10 +75,164 @@ def make_pp_mesh(pp_devices: int, *, devices: list | None = None) -> Mesh:
     return Mesh(dev_array, (PP_DATA_AXIS, PP_AXIS))
 
 
+# ---------------------------------------------------------------------------
+# Ambient pipeline context (consumed by gemma.Module.__call__)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    mesh: Mesh
+    n_microbatches: int
+
+
+class _PipelineState(threading.local):
+    config: PipelineConfig | None = None
+
+
+_PP_STATE = _PipelineState()
+
+
+@contextlib.contextmanager
+def set_pipeline(mesh: Mesh, n_microbatches: int):
+    """Make GPipe the ambient executor for scanned layer stacks.
+
+    Inside this scope, ``gemma.Module`` training forwards (scan_layers=True,
+    no KV cache) run their block stack through ``pipeline_apply`` on
+    ``mesh``'s pp axis instead of a serial ``lax.scan``. Must wrap the TRACE
+    of the train/val step (jit caches the traced route).
+    """
+    if PP_AXIS not in mesh.shape or mesh.shape[PP_AXIS] < 2:
+        raise ValueError("set_pipeline needs a mesh with a pp axis of size >= 2")
+    if n_microbatches < 1:
+        raise ValueError("n_microbatches must be >= 1")
+    if _PP_STATE.config is not None:
+        raise ValueError("A pipeline context is already active.")
+    _PP_STATE.config = PipelineConfig(mesh=mesh, n_microbatches=n_microbatches)
+    try:
+        yield
+    finally:
+        _PP_STATE.config = None
+
+
+def current_pipeline() -> PipelineConfig | None:
+    return _PP_STATE.config
+
+
+# ---------------------------------------------------------------------------
+# Parameter placement
+# ---------------------------------------------------------------------------
+
+
+def pp_param_fsdp_dim(shape: tuple[int, ...], fsdp_size: int) -> int:
+    """Within-stage fsdp storage dim for a stacked ``[L, ...]`` leaf: the
+    largest non-layer dim divisible by the fsdp size, or -1 (replicated
+    within the stage). Shared by ``pipeline_apply``'s shard_map in_specs and
+    ``sharding.fsdp_sharding``'s storage specs so the jitted train step never
+    reshards parameters at the shard_map boundary."""
+    if fsdp_size <= 1 or len(shape) < 2:
+        return -1
+    for dim in sorted(range(1, len(shape)), key=lambda i: (shape[i], i), reverse=True):
+        if shape[dim] % fsdp_size == 0 and shape[dim] >= fsdp_size:
+            return dim
+    return -1
+
+
+def pp_layer_param_spec(shape: tuple[int, ...], pp_size: int, fsdp_size: int) -> PartitionSpec:
+    """PartitionSpec for one stacked layer leaf: layer axis over pp, plus
+    within-stage fsdp on the dim ``pp_param_fsdp_dim`` picks."""
+    parts: list = [PP_AXIS] + [None] * (len(shape) - 1)
+    d = pp_param_fsdp_dim(shape, fsdp_size)
+    if d >= 0:
+        parts[d] = FSDP_AXIS
+    while parts and parts[-1] is None:
+        parts = parts[:-1]
+    return PartitionSpec(*parts)
+
+
 def stage_params_sharding(mesh: Mesh, stacked_params):
-    """Shardings placing each ``[L, ...]`` leaf's layer axis over ``pp``."""
-    spec = NamedSharding(mesh, PartitionSpec(PP_AXIS))
-    return jax.tree.map(lambda _: spec, stacked_params)
+    """Shardings placing each ``[L, ...]`` leaf's layer axis over ``pp`` (and
+    its largest divisible non-layer dim over ``fsdp`` when the mesh has one)."""
+    fsdp = mesh.shape.get(FSDP_AXIS, 1)
+    pp = mesh.shape[PP_AXIS]
+    return jax.tree.map(
+        lambda leaf: NamedSharding(
+            mesh, pp_layer_param_spec(tuple(leaf.shape), pp, fsdp)
+        ),
+        stacked_params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage memory accounting (the honest bound for the pp use case)
+# ---------------------------------------------------------------------------
+
+
+def pp_stage_footprint_bytes(
+    stacked_params, other_params=None, *, pp: int, fsdp: int = 1, state_multiplier: float = 4.0
+) -> dict:
+    """Per-device parameter-memory arithmetic for a pipelined run.
+
+    Resident bytes per device =
+        layer_bytes / pp / fsdp        (stacked [L, ...] leaves, stored
+                                        pp x fsdp sharded)
+      + max_layer_bytes / fsdp * fsdp  (ONE gathered layer during compute)
+      + other_bytes                    (embedder, norms, ViT, heads —
+                                        replicated over pp)
+    all times ``state_multiplier`` for the full train state (params + grads
+    + Adam mu/nu = 4 copies at equal dtype; serving = 1).
+
+    Worked at the gemma3 flagship shapes this bounds (bf16, fsdp=1):
+    gemma3_12b stacked layers ~= 21.5 GB -> pp=4 stages hold ~5.4 GB of
+    layer weights each (fits 16 GB v5e HBM with 4x state only at fsdp>=4);
+    gemma3_27b ~= 50 GB -> pp=8 stages ~6.2 GB. ``check_pp_memory`` raises
+    when the sum exceeds the device HBM instead of letting XLA OOM opaquely.
+    """
+    layer_leaves = jax.tree.leaves(stacked_params)
+    layer_bytes = sum(
+        int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize for x in layer_leaves
+    )
+    n_layers = layer_leaves[0].shape[0] if layer_leaves else 0
+    one_layer_bytes = layer_bytes // max(n_layers, 1)
+    other_bytes = 0
+    if other_params is not None:
+        other_bytes = sum(
+            int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
+            for x in jax.tree.leaves(other_params)
+        )
+    resident = layer_bytes / pp / fsdp + one_layer_bytes + other_bytes
+    return {
+        "layer_bytes": layer_bytes,
+        "one_layer_bytes": one_layer_bytes,
+        "other_bytes": other_bytes,
+        "per_device_bytes": int(resident * state_multiplier),
+    }
+
+
+def check_pp_memory(
+    stacked_params, other_params, *, pp: int, fsdp: int, hbm_bytes: int, state_multiplier: float = 4.0
+) -> dict:
+    """Raise with the arithmetic when a stage cannot fit ``hbm_bytes``."""
+    fp = pp_stage_footprint_bytes(
+        stacked_params, other_params, pp=pp, fsdp=fsdp, state_multiplier=state_multiplier
+    )
+    if fp["per_device_bytes"] > hbm_bytes:
+        gib = 2**30
+        raise ValueError(
+            f"pipeline stage does not fit device HBM: layers "
+            f"{fp['layer_bytes'] / gib:.2f} GiB / (pp={pp} * fsdp={fsdp}) + one "
+            f"gathered layer {fp['one_layer_bytes'] / gib:.2f} GiB + non-layer "
+            f"params {fp['other_bytes'] / gib:.2f} GiB, x{state_multiplier:g} for "
+            f"the train state = {fp['per_device_bytes'] / gib:.2f} GiB > "
+            f"{hbm_bytes / gib:.2f} GiB HBM. Raise pp_devices/fsdp_devices or "
+            f"enable partitioned freezing."
+        )
+    return fp
+
+
+# ---------------------------------------------------------------------------
+# The GPipe executor
+# ---------------------------------------------------------------------------
 
 
 def pipeline_apply(
@@ -81,10 +255,13 @@ def pipeline_apply(
             axis (the ``nn.scan`` checkpoint layout). ``L`` must divide by
             the mesh's pp size.
         x: pytree of ``[B, ...]`` arrays; ``B`` must divide by
-            ``n_microbatches`` (after the dp shard, if the mesh has dp > 1).
-        mesh: a mesh with a ``pp`` axis (and optionally a ``dp`` axis the
-            batch dim shards over).
-        n_microbatches: GPipe microbatch count ``M`` per dp shard. Bubble
+            ``n_microbatches`` (after the data shard, if the mesh has
+            dp/fsdp axes of size > 1).
+        mesh: a mesh with a ``pp`` axis; optional ``dp``/``fsdp`` axes the
+            batch dim shards over (fsdp additionally shards parameter
+            storage within each stage — see module docstring). A ``tp`` axis
+            of size > 1 is rejected.
+        n_microbatches: GPipe microbatch count ``M`` per data shard. Bubble
             fraction is ``(P-1)/(M+P-1)``; M >= 2*P keeps it under ~33%.
         remat: rematerialize each layer in the backward pass (the training
             default elsewhere in this repo, ``gemma.Module.remat_policy``).
@@ -93,19 +270,49 @@ def pipeline_apply(
         pytree like ``x``: the activations after all ``L`` layers.
     """
     pp = mesh.shape[PP_AXIS]
-    has_dp = PP_DATA_AXIS in mesh.shape and mesh.shape[PP_DATA_AXIS] > 1
+    if mesh.shape.get(TP_AXIS, 1) > 1:
+        raise ValueError("pipeline_apply does not compose with a tp axis > 1")
+    fsdp = mesh.shape.get(FSDP_AXIS, 1)
+    data_axes = tuple(a for a in (BATCH_AXIS, FSDP_AXIS) if a in mesh.shape)
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
     if n_layers % pp != 0:
         raise ValueError(f"{n_layers} layers not divisible by pp={pp}")
     batch = jax.tree.leaves(x)[0].shape[0]
-    dp = mesh.shape.get(PP_DATA_AXIS, 1)
+    dp = int(np.prod([mesh.shape[a] for a in data_axes])) if data_axes else 1
     if batch % (dp * n_microbatches) != 0:
         raise ValueError(
             f"batch {batch} not divisible by dp*microbatches = {dp}*{n_microbatches}"
         )
 
-    layer = jax.checkpoint(stage_fn) if remat else stage_fn
     m = n_microbatches
+
+    # Within-stage fsdp: which dim of each STACKED leaf stores fsdp-sharded
+    # (-1 = replicated). Inside the stage scan the leading layer dim is
+    # consumed, so the gather axis is dim-1.
+    fsdp_dims = jax.tree.map(
+        lambda leaf: pp_param_fsdp_dim(tuple(leaf.shape), fsdp), stacked_params
+    )
+
+    def gather_layer(layer_params):
+        if fsdp <= 1:
+            return layer_params
+        return jax.tree.map(
+            lambda p, d: p
+            if d < 0
+            else jax.lax.all_gather(p, FSDP_AXIS, axis=d - 1, tiled=True),
+            layer_params,
+            fsdp_dims,
+        )
+
+    def gathered_stage(layer_params, h):
+        # The gather lives INSIDE the (optional) remat boundary: with remat
+        # the gathered weights are re-gathered in the backward pass instead
+        # of saved as per-layer residuals — peak weight memory stays at the
+        # sharded stage plus ONE gathered layer (ZeRO-3), at the standard
+        # cost of one extra all-gather per layer in the backward.
+        return stage_fn(gather_layer(layer_params), h)
+
+    layer = jax.checkpoint(gathered_stage) if remat else gathered_stage
 
     def run_stage(params_local, mb):
         """All of this stage's layers over one microbatch."""
@@ -168,11 +375,12 @@ def pipeline_apply(
             lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), outputs
         )
 
-    batch_spec = PartitionSpec(PP_DATA_AXIS) if has_dp else PartitionSpec()
-    in_specs = (
-        jax.tree.map(lambda _: PartitionSpec(PP_AXIS), stacked_params),
-        jax.tree.map(lambda _: batch_spec, x),
+    batch_spec = PartitionSpec(data_axes) if data_axes else PartitionSpec()
+    param_specs = jax.tree.map(
+        lambda leaf: pp_layer_param_spec(tuple(leaf.shape), pp, fsdp),
+        stacked_params,
     )
+    in_specs = (param_specs, jax.tree.map(lambda _: batch_spec, x))
     out_specs = jax.tree.map(lambda _: batch_spec, x)
     return jax.shard_map(
         pp_fn,

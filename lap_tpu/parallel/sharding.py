@@ -72,6 +72,19 @@ def _tp_dim(path_str: str, shape: tuple[int, ...], tp_size: int, tp_rules) -> in
     return None
 
 
+def _is_pp_layer_leaf(path_str: str, shape: tuple[int, ...], pp_size: int) -> bool:
+    """Is this leaf part of the LLM's scan-stacked ``layers`` subtree that a
+    pipeline run shards over the pp axis? Matches params, grads, and the
+    optimizer's mu/nu moments (same tree paths), requiring the leading layer
+    axis to divide by the pp size."""
+    import re
+
+    if not shape or shape[0] % pp_size != 0 or shape[0] < pp_size:
+        return False
+    # keystr normalization leaves the first bracket: ".params[llm/layers/..."
+    return re.search(r"(^|/|\[)llm/layers/", path_str) is not None
+
+
 def _spec(parts: list) -> PartitionSpec:
     while parts and parts[-1] is None:
         parts = parts[:-1]
@@ -120,12 +133,28 @@ def fsdp_sharding(
     """
     fsdp_size = mesh.shape[mesh_lib.FSDP_AXIS]
     tp_size = mesh.shape.get(mesh_lib.TP_AXIS, 1)
+    pp_size = mesh.shape.get(mesh_lib.PP_AXIS, 1)
     stats = {"sharded": 0, "replicated": 0, "sharded_b": 0, "repl_b": 0}
 
     def to_sharding(path, leaf):
         shape = tuple(getattr(leaf, "shape", ()) or ())
         dtype = getattr(leaf, "dtype", np.float32)
         path_str = jax.tree_util.keystr(path).replace("'", "").replace("][", "/").strip("[]")
+        if pp_size > 1 and _is_pp_layer_leaf(path_str, shape, pp_size):
+            # Pipeline-parallel run: the LLM's scan-stacked layer leaves are
+            # stored with the exact spec pipeline_apply's shard_map in_specs
+            # declare (layer axis over pp, largest divisible non-layer dim
+            # over fsdp, NO size threshold) so the jitted train step never
+            # reshards parameters at the shard_map boundary. Every other
+            # param (embedder, ViT, heads, optimizer scalars) falls through
+            # to the usual fsdp rules, replicated over pp.
+            from lap_tpu.parallel.pipeline import pp_layer_param_spec
+
+            spec = pp_layer_param_spec(shape, pp_size, fsdp_size)
+            nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize if shape else 0
+            stats["sharded"] += 1
+            stats["sharded_b"] += nbytes
+            return NamedSharding(mesh, spec)
         tp_dim = _tp_dim(path_str, shape, tp_size, tp_rules)
         spec = _leaf_fsdp_spec(shape, dtype, fsdp_size, min_size_bytes, tp_dim, tp_size)
         nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize if shape else 0

@@ -252,6 +252,13 @@ class TrainConfig:
 
     fsdp_devices: int = 1
     tp_devices: int = 1
+    # GPipe pipeline parallelism: shard the LLM's layer stack over a pp mesh
+    # axis (parallel/pipeline.py). Composes with dp and with fsdp WITHIN each
+    # stage; rejected with tp_devices > 1. pp_microbatches is the GPipe
+    # microbatch count per data-parallel shard — bubble fraction is
+    # (pp-1)/(M+pp-1), so M >= 2*pp keeps it under ~33%.
+    pp_devices: int = 1
+    pp_microbatches: int = 4
     # Megatron-style sequence parallelism: with tp_devices > 1, keep the
     # residual stream token-sharded over the tp axis between attention/MLP
     # regions (reduce-scatter + all-gather instead of all-reduce; 1/tp the

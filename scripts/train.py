@@ -28,12 +28,14 @@ import jax
 import jax.numpy as jnp
 
 from lap_tpu.parallel import (
+    check_pp_memory,
     data_sharding,
     fsdp_sharding,
     make_mesh,
     pick_fsdp_devices,
     replicated,
     set_mesh,
+    set_pipeline,
 )
 from lap_tpu.training import checkpoints as _checkpoints
 from lap_tpu.training import config as _config
@@ -45,6 +47,19 @@ from lap_tpu.training.train_step import make_step_functions
 logger = logging.getLogger("lap_tpu")
 
 
+def _mesh_scope(config, mesh):
+    """Ambient-parallelism scope for traces: mesh + sp + (with pp_devices > 1)
+    the GPipe pipeline context that routes gemma layer stacks through
+    ``parallel.pipeline.pipeline_apply``."""
+    return set_mesh(
+        mesh,
+        sequence_parallel=config.sequence_parallel,
+        pipeline_microbatches=(
+            config.pp_microbatches if getattr(config, "pp_devices", 1) > 1 else None
+        ),
+    )
+
+
 def init_distributed(config) -> None:
     """Initialize multi-host JAX when running on a pod (train.py:110-154)."""
     if config.fsdp_devices > jax.local_device_count() and jax.process_count() == 1:
@@ -54,9 +69,38 @@ def init_distributed(config) -> None:
             logger.info("jax.distributed.initialize skipped: %s", e)
 
 
+def _check_pp_fit(config, params_shapes, mesh) -> None:
+    """Fail fast with arithmetic when a pipeline stage cannot fit device HBM
+    (instead of an opaque XLA OOM hours into weight loading)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm = int(stats.get("bytes_limit", 0))
+    except Exception:  # noqa: BLE001 - CPU/virtual backends have no stats
+        hbm = 0
+    if hbm <= 0:
+        return
+    llm = params_shapes.get("llm", {})
+    stacked = llm.get("layers")
+    if stacked is None:
+        return
+    other = {k: v for k, v in params_shapes.items() if k != "llm"}
+    other["llm"] = {k: v for k, v in llm.items() if k != "layers"}
+    check_pp_memory(
+        stacked,
+        other,
+        pp=mesh.shape["pp"],
+        fsdp=mesh.shape["fsdp"],
+        hbm_bytes=hbm,
+        # params + grads + Adam mu/nu at param dtype.
+        state_multiplier=4.0,
+    )
+
+
 def init_train_state(config, steps, mesh, resuming: bool):
     """eval_shape -> FSDP shardings -> (load partial weights) -> jit init."""
     shapes = jax.eval_shape(steps.init_fn, jax.random.PRNGKey(config.seed))
+    if getattr(config, "pp_devices", 1) > 1:
+        _check_pp_fit(config, shapes.params, mesh)
     state_sharding = fsdp_sharding(shapes, mesh, log=False)
     if resuming:
         # Structure only; values restored from the checkpoint.
@@ -69,7 +113,7 @@ def init_train_state(config, steps, mesh, resuming: bool):
 
     loader = config.weight_loader.build()
     init = jax.jit(steps.init_fn, out_shardings=state_sharding)
-    with set_mesh(mesh, sequence_parallel=config.sequence_parallel):
+    with _mesh_scope(config, mesh):
         state = init(jax.random.PRNGKey(config.seed))
     if loader is not None:
         params_shape = jax.tree.map(
@@ -128,7 +172,11 @@ def main(config: _config.TrainConfig) -> None:
     _enable_compilation_cache()
     init_distributed(config)
     fsdp = pick_fsdp_devices(config.fsdp_devices)
-    mesh = make_mesh(fsdp_devices=fsdp, tp_devices=config.tp_devices)
+    mesh = make_mesh(
+        fsdp_devices=fsdp,
+        tp_devices=config.tp_devices,
+        pp_devices=config.pp_devices,
+    )
     logger.info("mesh: %s over %d devices", dict(mesh.shape), jax.device_count())
 
     ckpt_mgr, resuming = _checkpoints.initialize_checkpoint_dir(
@@ -245,7 +293,7 @@ def main(config: _config.TrainConfig) -> None:
     rng = jax.random.PRNGKey(config.seed)
     start_step = int(state.step)
     first_batch_visualized = False
-    with set_mesh(mesh, sequence_parallel=config.sequence_parallel):
+    with _mesh_scope(config, mesh):
         for step in range(start_step, config.num_train_steps):
             if trace_dir and step == start_step + 3:
                 jax.profiler.start_trace(trace_dir)
@@ -299,10 +347,15 @@ def main(config: _config.TrainConfig) -> None:
 def create_loader(config, mesh):
     from lap_tpu.data.loader import create_data_loader
 
-    if config.batch_size % (mesh.shape["dp"] * mesh.shape["fsdp"]) != 0:
+    shards = mesh.shape["dp"] * mesh.shape["fsdp"]
+    if config.batch_size % shards != 0:
         raise ValueError(
-            f"batch_size {config.batch_size} not divisible by data shards "
-            f"{mesh.shape['dp'] * mesh.shape['fsdp']}"
+            f"batch_size {config.batch_size} not divisible by data shards {shards}"
+        )
+    if config.pp_devices > 1 and (config.batch_size // shards) % config.pp_microbatches != 0:
+        raise ValueError(
+            f"per-shard batch {config.batch_size // shards} not divisible by "
+            f"pp_microbatches={config.pp_microbatches}"
         )
     return create_data_loader(config, mesh, split="train")
 

@@ -138,3 +138,55 @@ def test_tp_composes_with_micro_batching(debug_ckpt):
         assert batcher.stats["requests"] == 2
     finally:
         batcher.close()
+
+
+def test_tp_composes_with_token_bucket(debug_ckpt):
+    """--serve_tp 2 --token_bucket 8: the composed stack's greedy AR output
+    equals the single-chip full-length oracle (round-4 VERDICT ask #4)."""
+    train_config, ckpt = debug_ckpt
+    oracle = policy_config.create_trained_policy_ar(
+        train_config, ckpt, allow_test_vocab=True, max_decoding_steps=6
+    )
+    composed = policy_config.create_trained_policy_ar(
+        train_config, ckpt, allow_test_vocab=True, max_decoding_steps=6,
+        tp=2, token_bucket=8,
+    )
+    r1 = oracle.infer(_obs())
+    r2 = composed.infer(_obs())
+    np.testing.assert_allclose(
+        np.asarray(r1["actions"]), np.asarray(r2["actions"]), atol=1e-5
+    )
+    assert r1.get("reasoning", "") == r2.get("reasoning", "")
+
+
+def test_tp_batched_matches_single_chip_oracle(debug_ckpt):
+    """--serve_tp 2 --max_batch 2 (round-4 VERDICT ask #4): two concurrent
+    greedy AR requests through the tp-sharded batched stack return exactly
+    the single-chip unbatched oracle's output (greedy decode is rng-free, so
+    batching/sharding must be numerically invisible)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lap_tpu.policies.batching import BatchingPolicy
+
+    train_config, ckpt = debug_ckpt
+    oracle = policy_config.create_trained_policy_ar(
+        train_config, ckpt, allow_test_vocab=True, max_decoding_steps=6
+    )
+    want = oracle.infer(_obs())
+    composed = policy_config.create_trained_policy_ar(
+        train_config, ckpt, allow_test_vocab=True, max_decoding_steps=6, tp=2
+    )
+    batcher = BatchingPolicy(
+        composed, max_batch=2, window_ms=2000.0, background_warmup=False
+    )
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            results = list(ex.map(lambda _: batcher.infer(_obs()), range(2)))
+        assert batcher.stats["batches"] >= 1
+        for r in results:
+            np.testing.assert_allclose(
+                np.asarray(r["actions"]), np.asarray(want["actions"]), atol=1e-5
+            )
+            assert r.get("reasoning", "") == want.get("reasoning", "")
+    finally:
+        batcher.close()
