@@ -289,7 +289,13 @@ def _model_flops_per_example(cfg, params, *, xla_view: bool = False) -> float:
 
     walk(p, "")
     n_images = len(cfg.image_keys)
-    prefix_tokens = 256 * n_images + cfg.max_token_len
+    if "gemma3" in cfg.paligemma_variant:
+        # Gemma3 carries its image tokens INSIDE max_token_len (placeholder
+        # positions replaced post-embed), so the backbone sees exactly
+        # max_token_len prefix positions.
+        prefix_tokens = cfg.max_token_len
+    else:
+        prefix_tokens = 256 * n_images + cfg.max_token_len
     suffix_tokens = cfg.action_horizon + 1
     vit_tokens = 256 * n_images  # per-image patches, summed over cameras
     fwd = 0.0
@@ -447,6 +453,96 @@ def bench_train_step(on_tpu: bool) -> dict:
         )
     except Exception as e:  # noqa: BLE001
         out["train_frozen_skipped"] = str(e)[:120]
+    return out
+
+
+def bench_gemma3_train(on_tpu: bool) -> dict:
+    """Gemma3 scaling-family train line (round-4 VERDICT ask #6): full-model
+    fwd+bwd — every parameter gets a gradient — at the family's 800-token
+    budget, on the largest member pair that fits ONE 16 GB v5e with full
+    gradients: gemma3_1b backbone + gemma3_300m_26 expert (both 26 layers;
+    the 4b pair needs ~18 GB for bf16 params+grads alone — that shape is
+    covered by the tp-serving path and the sp/tp lowering checks instead).
+    Reports step ms + MFU so a train-path regression anywhere in the gemma3
+    stack (sliding windows, dual RoPE, QK-norm, placeholder scatter) moves a
+    driver-tracked number."""
+    import dataclasses as _dc
+
+    from lap_tpu.models.lap_model import LAPConfig
+    from lap_tpu.models.tokenizer import GEMMA3_IMAGE_TOKEN
+
+    out: dict = {}
+    if on_tpu:
+        cfg = LAPConfig(
+            paligemma_variant="gemma3_1b",
+            action_expert_variant="gemma3_300m_26",
+            action_dim=32,
+            action_horizon=16,
+            max_token_len=800,
+            enable_action_training=True,
+            enable_langact_training=True,
+        )
+    else:
+        cfg = _dc.replace(_gemma3_cfg(False), max_token_len=80)
+    try:
+        model = cfg.create_module()
+        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        params = _init_params(model, dtype)
+        rng = jax.random.PRNGKey(0)
+        batch = 8 if on_tpu else 2
+        obs, actions = _fake_train_batch(cfg, batch)
+        # Gemma3 serving/training reality: image-placeholder tokens inside
+        # the prompt (replaced post-embed by SigLIP tokens); the language
+        # loss region sits after them.
+        per_cam = (cfg.image_resolution[0] // 14) * (cfg.image_resolution[1] // 14)
+        per_cam = min(per_cam, 256)
+        n_img = per_cam * len(cfg.image_keys)
+        toks = np.asarray(obs.tokenized_prompt).copy()
+        toks[:, :n_img] = GEMMA3_IMAGE_TOKEN
+        langact = np.zeros(toks.shape, bool)
+        langact[:, (n_img + toks.shape[1]) // 2 :] = True
+        obs = obs.replace(
+            tokenized_prompt=jnp.asarray(toks),
+            tokenized_langact_mask=jnp.asarray(langact),
+        )
+
+        def loss_full(p, r, seed):
+            loss, _ = model.apply(
+                p, jax.random.fold_in(r, seed), obs, actions,
+                train=True, method=model.compute_loss,
+            )
+            return loss
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_full))
+        loss, grads = grad_fn(params, rng, jnp.uint32(0))
+        jax.block_until_ready(loss)
+        del grads
+        iters = 5 if on_tpu else 2
+        ts = []
+        for rep in range(3):
+            seed = jnp.uint32(rep * iters)
+            t0 = time.perf_counter()
+            for i in range(iters):
+                loss, grads = grad_fn(params, rng, seed)
+                del grads
+                seed = jnp.uint32(rep * iters + i + 1) + loss.astype(jnp.uint32) * 0
+            np.asarray(loss)  # materialize -> fences the whole chain
+            ts.append((time.perf_counter() - t0) / iters)
+        step_ms = float(np.median(ts)) * 1e3
+        flops = _model_flops_per_example(cfg, params) * batch
+        out.update(
+            gemma3_train_variant=cfg.paligemma_variant,
+            gemma3_train_batch=batch,
+            gemma3_train_step_ms=round(step_ms, 1),
+            gemma3_train_examples_per_sec_per_chip=round(1000.0 * batch / step_ms, 2),
+            gemma3_mfu=round(
+                (flops / (step_ms / 1e3)) / V5E_BF16_PEAK_FLOPS, 3
+            )
+            if on_tpu
+            else None,
+        )
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        out["gemma3_train_skipped"] = str(e)[:160]
     return out
 
 
@@ -716,6 +812,7 @@ def main():
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["ar_int8_bucket64_skipped"] = str(e)[:120]
     record.update(bench_train_step(on_tpu))
+    record.update(bench_gemma3_train(on_tpu))
     record.update(bench_train_with_input(on_tpu))
     record.update(bench_loader())
     record.update(bench_fast_bpe())

