@@ -812,8 +812,10 @@ def main():
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["ar_int8_bucket64_skipped"] = str(e)[:120]
     record.update(bench_train_step(on_tpu))
-    record.update(bench_gemma3_train(on_tpu))
+    # train_with_input runs BEFORE gemma3_train: an OOM in the 800-token
+    # gemma3 step would leave HBM fragmented and poison whatever follows.
     record.update(bench_train_with_input(on_tpu))
+    record.update(bench_gemma3_train(on_tpu))
     record.update(bench_loader())
     record.update(bench_fast_bpe())
     print(json.dumps(record))

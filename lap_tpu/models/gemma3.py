@@ -32,7 +32,8 @@ from lap_tpu.models.gemma import (
     update_cache,
 )
 from lap_tpu.ops.attention import attention
-from lap_tpu.parallel.mesh import activation_sharding_constraint
+from lap_tpu.parallel.mesh import activation_sharding_constraint, suspend_mesh
+from lap_tpu.parallel.pipeline import current_pipeline, pipeline_apply
 
 GEMMA3_VOCAB_SIZE = 262_144
 
@@ -462,7 +463,20 @@ class Module(nn.Module):
         # Pin [B, W] conditioning to the data axes (see gemma.py.__call__):
         # avoids involuntary rematerialization in the scan backward.
         adarms_cond = activation_sharding_constraint(adarms_cond)
-        if self.scan_layers:
+        pipe = (
+            current_pipeline()
+            if self.scan_layers and kv_cache is None and not self.is_initializing()
+            else None
+        )
+        if pipe is not None:
+            # GPipe pipeline parallelism (see gemma.Module._pipelined_layers):
+            # training forward only, stage-sharded over the mesh's pp axis.
+            embedded = self._pipelined_layers(
+                pipe, embedded, positions, mask, adarms_cond, image_mask,
+                deterministic,
+            )
+            kv_cache = None
+        elif self.scan_layers:
             embedded, kv_cache = self.layers(
                 embedded, kv_cache, positions, mask, adarms_cond,
                 self._is_global_attn, image_mask, deterministic,
@@ -490,6 +504,66 @@ class Module(nn.Module):
             for f, e, a in zip(self.final_norms, embedded, adarms_cond, strict=True)
         ]
         return out, kv_cache
+
+    def _pipelined_layers(
+        self, pipe, embedded, positions, mask, adarms_cond, image_mask, deterministic
+    ):
+        """GPipe over the pp mesh axis (mirror of
+        ``gemma.Module._pipelined_layers``). Gemma3's one structural twist:
+        the per-layer global/sliding attention flag is a SCANNED input
+        (in_axes=0), so it rides the stacked-params pytree — each stage
+        slices its own ``[L/P]`` flags alongside its layer weights — while
+        masks/positions/adaRMS/image_mask travel with the microbatch."""
+        if self.dropout and not deterministic:
+            raise ValueError(
+                "pipeline parallelism supports deterministic forwards only "
+                "(dropout rngs cannot thread through the stage shard_map)"
+            )
+        stacked = {
+            "params": self.variables["params"]["layers"],
+            "is_global": jnp.asarray(self._is_global_attn),
+        }
+        block = Block(
+            configs=tuple(self.configs),
+            dropout=0.0,
+            stop_action_to_vlm_grad=self.stop_action_to_vlm_grad,
+            cache_dtype=self.cache_dtype,
+            attn_impl=self.attn_impl,
+            quant=self.quant,
+            parent=None,
+        )
+
+        def stage(layer, mb):
+            with suspend_mesh():
+                xs, _ = block.apply(
+                    {"params": layer["params"]},
+                    mb["xs"],
+                    None,
+                    mb["positions"],
+                    mb["mask"],
+                    mb["adarms"],
+                    layer["is_global"],
+                    mb["image_mask"],
+                    True,
+                )
+            return {**mb, "xs": xs}
+
+        carry = {
+            "xs": list(embedded),
+            "positions": positions,
+            "mask": mask,
+            "adarms": list(adarms_cond),
+            "image_mask": image_mask,
+        }
+        out = pipeline_apply(
+            stage,
+            stacked,
+            carry,
+            mesh=pipe.mesh,
+            n_microbatches=pipe.n_microbatches,
+            remat=self.remat_policy != "none",
+        )
+        return out["xs"]
 
     def init_params(self, use_adarms: Sequence[bool]):
         self.embed(jnp.zeros((1, 1), dtype=jnp.int32))

@@ -415,6 +415,57 @@ class LAP(nn.Module):
     # Losses
     # ------------------------------------------------------------------
 
+    # Token-chunk size for the language CE. Above this many positions the
+    # [B, T, V] logits tensor is never materialized: the vocab projection +
+    # logsumexp + label gather run per chunk under jax.checkpoint (lax.map),
+    # bounding peak CE memory at [B, CHUNK, V] in both passes. At Gemma3's
+    # 800-token budget x 262k vocab this is the difference between 6.7 GB of
+    # f32 logits (x ~3 live copies in the softmax backward — an OOM on a
+    # 16 GB v5e next to params+grads) and ~1 GB. Below the threshold the
+    # single-shot path is kept: one chunk under remat would only re-pay the
+    # vocab matmul in the backward for no memory win.
+    CE_CHUNK: int = 256
+
+    def _token_logp_and_pred(self, pre_logits, labels, *, need_pred: bool):
+        """Per-token label log-prob (f32) and argmax predictions, chunked
+        over the token axis (see CE_CHUNK). Numerically identical to the
+        single-shot log_softmax + take_along_axis: each token's logsumexp is
+        a full-vocab reduction either way."""
+        table = self.llm.embedder.input_embedding_table  # [V, D] (tied head)
+        b, t, d = pre_logits.shape
+        chunk = self.CE_CHUNK
+
+        if t <= chunk:
+            logits = self.llm.decode_logits(pre_logits).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            token_logp = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+            pred = jnp.argmax(logits, axis=-1) if need_pred else None
+            return token_logp, pred
+
+        n_chunks = -(-t // chunk)
+        pad = n_chunks * chunk - t
+        pl = jnp.pad(pre_logits, ((0, 0), (0, pad), (0, 0)))
+        lb = jnp.pad(labels, ((0, 0), (0, pad)))
+        pl = pl.reshape(b, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+        lb = lb.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+        def one(args):
+            pl_c, lb_c = args
+            logits = jnp.dot(pl_c, table.T).astype(jnp.float32)  # [B, C, V]
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            lab = jnp.take_along_axis(logits, lb_c[..., None], axis=-1)[..., 0]
+            pred = (
+                jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                if need_pred
+                else jnp.zeros_like(lb_c)
+            )
+            return lab - logz, pred
+
+        logp, pred = jax.lax.map(jax.checkpoint(one), (pl, lb))
+        logp = logp.transpose(1, 0, 2).reshape(b, n_chunks * chunk)[:, :t]
+        pred = pred.transpose(1, 0, 2).reshape(b, n_chunks * chunk)[:, :t]
+        return logp, (pred if need_pred else None)
+
     def _compute_language_loss(
         self, obs, prefix_pre_logits, sample_mask=None, *, verbose_mode=False
     ):
@@ -422,7 +473,6 @@ class LAP(nn.Module):
         labels = obs.tokenized_prompt[:, 1:]
         pre_logits = prefix_pre_logits[:, :-1]
         pre_logits = pre_logits[:, -labels.shape[1] :]
-        logits = self.llm.decode_logits(pre_logits)
 
         loss_mask = (
             obs.tokenized_langact_mask[:, 1:]
@@ -434,8 +484,9 @@ class LAP(nn.Module):
             ex_mask = jnp.asarray(sample_mask)[..., None]
             loss_mask = loss_mask * ex_mask
 
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        token_logp = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        token_logp, predictions = self._token_logp_and_pred(
+            pre_logits, labels, need_pred=verbose_mode
+        )
         per_sample = -jnp.sum(token_logp * loss_mask, axis=-1) / jnp.clip(
             jnp.sum(loss_mask, -1), 1
         )
@@ -447,8 +498,6 @@ class LAP(nn.Module):
                     return None
                 m = m[:, 1:]
                 return m * ex_mask if ex_mask is not None else m
-
-            predictions = jnp.argmax(logits, axis=-1)
             metrics.update(
                 _metrics.compute_token_accuracy_metrics(
                     predictions=predictions,

@@ -229,6 +229,33 @@ class ARPolicy(_ModelPolicy):
         return {"tokens": sampled[i : i + 1]}
 
 
+def _flatten_record(prefix: str, tree: dict, out: dict) -> None:
+    """Flatten a (possibly nested) request/response dict into npz-storable
+    ``prefix/key/...`` entries — nested observation dicts included, so a
+    recorded request can be replayed byte-identically
+    (scripts/compare_served_outputs.py)."""
+    for k, v in tree.items():
+        key = f"{prefix}/{k}"
+        if isinstance(v, dict):
+            _flatten_record(key, v, out)
+        elif isinstance(v, (np.ndarray, np.number, int, float, str, bool)):
+            out[key] = np.asarray(v)
+
+
+def unflatten_record(flat: dict, prefix: str) -> dict:
+    """Inverse of the recorder's flattening for one ``prefix`` subtree."""
+    out: dict = {}
+    for key, v in flat.items():
+        if not key.startswith(prefix + "/"):
+            continue
+        node = out
+        parts = key[len(prefix) + 1 :].split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
 class PolicyRecorder(BasePolicy):
     """Record every request/response pair to disk (openpi PolicyRecorder)."""
 
@@ -250,8 +277,6 @@ class PolicyRecorder(BasePolicy):
         path = self._record_dir / f"step_{idx:06d}.npz"
         flat = {}
         for prefix, tree in (("obs", obs), ("out", result)):
-            for k, v in tree.items():
-                if isinstance(v, (np.ndarray, int, float, str, bool)):
-                    flat[f"{prefix}/{k}"] = np.asarray(v)
+            _flatten_record(prefix, tree, flat)
         np.savez(path, **flat)
         return result
