@@ -423,7 +423,10 @@ class LAP(nn.Module):
     # f32 logits (x ~3 live copies in the softmax backward — an OOM on a
     # 16 GB v5e next to params+grads) and ~1 GB. Below the threshold the
     # single-shot path is kept: one chunk under remat would only re-pay the
-    # vocab matmul in the backward for no memory win.
+    # vocab matmul in the backward for no memory win. The value is NOT
+    # latency-sensitive: 128/256/512 all measure 541-545 ms on the gemma3_1b
+    # 800-token train step (v5e, round 5) — the chunk matmuls stay MXU-bound
+    # at [8, 128, V] already, so 256 is chosen for headroom on wider models.
     CE_CHUNK: int = 256
 
     def _token_logp_and_pred(self, pre_logits, labels, *, need_pred: bool):
