@@ -319,6 +319,31 @@ def _model_flops_per_example(cfg, params, *, xla_view: bool = False) -> float:
     return 3.0 * fwd  # fwd + bwd
 
 
+def _timed_grad_steps(grad_fn, *args, iters: int) -> float:
+    """ms/step for a ``(..., seed) -> (loss, grads)`` function. The ONE
+    timing methodology for every train-step line in this file. Two
+    measurement rules for this platform:
+    (1) grads are dropped before the next call (a real train step donates
+    them into the optimizer update) so two gradient buffers never coexist;
+    (2) successive steps are chained through the loss (seed_{i+1} depends on
+    loss_i) and the final loss is fetched to host — on remote-tunnel
+    platforms block_until_ready alone does not reliably fence execution."""
+    loss, grads = grad_fn(*args, jnp.uint32(0))  # warmup/compile
+    jax.block_until_ready(loss)
+    del grads
+    ts = []
+    for rep in range(3):
+        seed = jnp.uint32(rep * iters)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            loss, grads = grad_fn(*args, seed)
+            del grads
+            seed = jnp.uint32(rep * iters + i + 1) + loss.astype(jnp.uint32) * 0
+        np.asarray(loss)  # materialize -> fences the whole chain
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3  # ms/step
+
+
 def bench_train_step(on_tpu: bool) -> dict:
     """Full-model fwd+bwd (every param gets a gradient) at per-chip batch 8,
     lap_libero shape, plus the frozen-VLM secondary line. Returns {} entries
@@ -334,27 +359,7 @@ def bench_train_step(on_tpu: bool) -> dict:
     iters = 5 if on_tpu else 2
 
     def timed_steps(grad_fn, *args):
-        # Warmup/compile, then time. Two measurement rules for this platform:
-        # (1) grads are dropped before the next call (a real train step
-        # donates them into the optimizer update) so two gradient buffers
-        # never coexist; (2) successive steps are chained through the loss
-        # (seed_{i+1} depends on loss_i) and the final loss is fetched to
-        # host — on remote-tunnel platforms block_until_ready alone does not
-        # reliably fence execution.
-        loss, grads = grad_fn(*args, jnp.uint32(0))
-        jax.block_until_ready(loss)
-        del grads
-        ts = []
-        for rep in range(3):
-            seed = jnp.uint32(rep * iters)
-            t0 = time.perf_counter()
-            for i in range(iters):
-                loss, grads = grad_fn(*args, seed)
-                del grads
-                seed = jnp.uint32(rep * iters + i + 1) + loss.astype(jnp.uint32) * 0
-            np.asarray(loss)  # materialize -> fences the whole chain
-            ts.append((time.perf_counter() - t0) / iters)
-        return float(np.median(ts)) * 1e3  # ms/step
+        return _timed_grad_steps(grad_fn, *args, iters=iters)
 
     # ---- full model: no freezing ----------------------------------------
     try:
@@ -514,21 +519,9 @@ def bench_gemma3_train(on_tpu: bool) -> dict:
             return loss
 
         grad_fn = jax.jit(jax.value_and_grad(loss_full))
-        loss, grads = grad_fn(params, rng, jnp.uint32(0))
-        jax.block_until_ready(loss)
-        del grads
-        iters = 5 if on_tpu else 2
-        ts = []
-        for rep in range(3):
-            seed = jnp.uint32(rep * iters)
-            t0 = time.perf_counter()
-            for i in range(iters):
-                loss, grads = grad_fn(params, rng, seed)
-                del grads
-                seed = jnp.uint32(rep * iters + i + 1) + loss.astype(jnp.uint32) * 0
-            np.asarray(loss)  # materialize -> fences the whole chain
-            ts.append((time.perf_counter() - t0) / iters)
-        step_ms = float(np.median(ts)) * 1e3
+        step_ms = _timed_grad_steps(
+            grad_fn, params, rng, iters=5 if on_tpu else 2
+        )
         flops = _model_flops_per_example(cfg, params) * batch
         out.update(
             gemma3_train_variant=cfg.paligemma_variant,

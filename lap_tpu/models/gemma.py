@@ -125,6 +125,15 @@ class RMSNorm(nn.Module):
         return (normed * (1 + scale) + shift).astype(dtype), gate
 
 
+def tied_table_logits(x, table):
+    """Tied-head vocab logits: ``x @ table.T``. The ONE definition of the
+    training decode-head math — ``Embedder.decode``'s exact path and the
+    chunked language CE (``lap_model.LAP._token_logp_and_pred``) both route
+    here, so a future head change (softcap, scaling, untying) cannot leave
+    the two computing different logits."""
+    return jnp.dot(x, table.T)
+
+
 class Embedder(nn.Module):
     vocab_size: int
     embed_dim: int
@@ -157,7 +166,7 @@ class Embedder(nn.Module):
                 return lora.quant_matmul(
                     x, w_i8, scale, (*x.shape[:-1], self.vocab_size)
                 )
-        return jnp.dot(x, self.input_embedding_table.T)
+        return tied_table_logits(x, self.input_embedding_table)
 
 
 def init_cache(k, v, cache_size, cache_dtype=None):
@@ -380,6 +389,43 @@ class Block(nn.Module):
         return xs, kv_cache
 
 
+def pipelined_block_stack(
+    pipe, *, block, stacked, xs, static, apply_block, dropout, deterministic, remat
+):
+    """Shared GPipe routing for the gemma/gemma3 backbones.
+
+    One pipeline stage is a plain (unscanned, un-remat'd) detached ``block``
+    applied functionally on per-layer slices of ``stacked`` (params plus any
+    extra per-layer scanned inputs — gemma3's global/sliding flags);
+    ``pipeline_apply`` re-applies remat per layer. The per-expert hidden
+    states ``xs`` are the ppermute carry; masks/positions/adaRMS/image-mask
+    go through ``static`` (read per tick, never permuted). Activation
+    sharding constraints inside the blocks are suspended: per-device code
+    inside ``shard_map`` has no global view for them to act on.
+    ``apply_block(block, layer_slice, xs, static) -> xs`` adapts each
+    backbone's ``Block.__call__`` signature.
+    """
+    if dropout and not deterministic:
+        raise ValueError(
+            "pipeline parallelism supports deterministic forwards only "
+            "(dropout rngs cannot thread through the stage shard_map)"
+        )
+
+    def stage(layer, xs_mb, st):
+        with suspend_mesh():
+            return apply_block(block, layer, xs_mb, st)
+
+    return pipeline_apply(
+        stage,
+        stacked,
+        xs,
+        static=static,
+        mesh=pipe.mesh,
+        n_microbatches=pipe.n_microbatches,
+        remat=remat,
+    )
+
+
 class Module(nn.Module):
     """The multi-expert transformer: scanned, rematerialized blocks."""
 
@@ -549,20 +595,10 @@ class Module(nn.Module):
 
         The scan-stacked ``layers`` params (leading ``[depth]`` axis — exactly
         the layout ``pipeline_apply`` wants) are read from this module's
-        variables and fed through ``parallel.pipeline.pipeline_apply``; one
-        pipeline stage is a plain (unscanned, un-remat'd) ``Block`` applied
-        functionally, with remat re-applied per layer by ``pipeline_apply``
-        itself. Masks/positions/adaRMS conditioning travel with each
-        microbatch through the stage-to-stage permutes. Activation sharding
-        constraints inside the blocks are suspended: per-device code inside
-        ``shard_map`` has no global view for them to act on.
+        variables and fed through the shared ``pipelined_block_stack``
+        routing; see that helper for the stage construction and the
+        carry-vs-static split.
         """
-        if self.dropout and not deterministic:
-            raise ValueError(
-                "pipeline parallelism supports deterministic forwards only "
-                "(dropout rngs cannot thread through the stage shard_map)"
-            )
-        stacked = self.variables["params"]["layers"]
         block = Block(
             configs=tuple(self.configs),
             dropout=0.0,
@@ -575,34 +611,33 @@ class Module(nn.Module):
             parent=None,
         )
 
-        def stage(layer_params, mb):
-            with suspend_mesh():
-                xs, _ = block.apply(
-                    {"params": layer_params},
-                    mb["xs"],
-                    None,
-                    mb["positions"],
-                    mb["mask"],
-                    mb["adarms"],
-                    True,
-                )
-            return {**mb, "xs": xs}
+        def apply_block(blk, layer, xs, st):
+            out, _ = blk.apply(
+                {"params": layer["params"]},
+                xs,
+                None,
+                st["positions"],
+                st["mask"],
+                st["adarms"],
+                True,
+            )
+            return out
 
-        carry = {
-            "xs": list(embedded),
-            "positions": positions,
-            "mask": mask,
-            "adarms": list(adarms_cond),
-        }
-        out = pipeline_apply(
-            stage,
-            stacked,
-            carry,
-            mesh=pipe.mesh,
-            n_microbatches=pipe.n_microbatches,
+        return pipelined_block_stack(
+            pipe,
+            block=block,
+            stacked={"params": self.variables["params"]["layers"]},
+            xs=list(embedded),
+            static={
+                "positions": positions,
+                "mask": mask,
+                "adarms": list(adarms_cond),
+            },
+            apply_block=apply_block,
+            dropout=self.dropout,
+            deterministic=deterministic,
             remat=self.remat_policy != "none",
         )
-        return out["xs"]
 
     def init_params(self, use_adarms: Sequence[bool]):
         """Initialize every parameter (linen requires touching all paths)."""

@@ -29,11 +29,12 @@ from lap_tpu.models.gemma import (
     _gated_residual,
     _name,
     init_cache,
+    pipelined_block_stack,
     update_cache,
 )
 from lap_tpu.ops.attention import attention
-from lap_tpu.parallel.mesh import activation_sharding_constraint, suspend_mesh
-from lap_tpu.parallel.pipeline import current_pipeline, pipeline_apply
+from lap_tpu.parallel.mesh import activation_sharding_constraint
+from lap_tpu.parallel.pipeline import current_pipeline
 
 GEMMA3_VOCAB_SIZE = 262_144
 
@@ -508,21 +509,12 @@ class Module(nn.Module):
     def _pipelined_layers(
         self, pipe, embedded, positions, mask, adarms_cond, image_mask, deterministic
     ):
-        """GPipe over the pp mesh axis (mirror of
-        ``gemma.Module._pipelined_layers``). Gemma3's one structural twist:
-        the per-layer global/sliding attention flag is a SCANNED input
-        (in_axes=0), so it rides the stacked-params pytree — each stage
-        slices its own ``[L/P]`` flags alongside its layer weights — while
-        masks/positions/adaRMS/image_mask travel with the microbatch."""
-        if self.dropout and not deterministic:
-            raise ValueError(
-                "pipeline parallelism supports deterministic forwards only "
-                "(dropout rngs cannot thread through the stage shard_map)"
-            )
-        stacked = {
-            "params": self.variables["params"]["layers"],
-            "is_global": jnp.asarray(self._is_global_attn),
-        }
+        """GPipe over the pp mesh axis via the shared
+        ``gemma.pipelined_block_stack`` routing. Gemma3's one structural
+        twist: the per-layer global/sliding attention flag is a SCANNED
+        input (in_axes=0), so it rides the stacked-params pytree — each
+        stage slices its own ``[L/P]`` flags alongside its layer weights —
+        while masks/positions/adaRMS/image_mask go through ``static``."""
         block = Block(
             configs=tuple(self.configs),
             dropout=0.0,
@@ -533,37 +525,39 @@ class Module(nn.Module):
             parent=None,
         )
 
-        def stage(layer, mb):
-            with suspend_mesh():
-                xs, _ = block.apply(
-                    {"params": layer["params"]},
-                    mb["xs"],
-                    None,
-                    mb["positions"],
-                    mb["mask"],
-                    mb["adarms"],
-                    layer["is_global"],
-                    mb["image_mask"],
-                    True,
-                )
-            return {**mb, "xs": xs}
+        def apply_block(blk, layer, xs, st):
+            out, _ = blk.apply(
+                {"params": layer["params"]},
+                xs,
+                None,
+                st["positions"],
+                st["mask"],
+                st["adarms"],
+                layer["is_global"],
+                st["image_mask"],
+                True,
+            )
+            return out
 
-        carry = {
-            "xs": list(embedded),
-            "positions": positions,
-            "mask": mask,
-            "adarms": list(adarms_cond),
-            "image_mask": image_mask,
-        }
-        out = pipeline_apply(
-            stage,
-            stacked,
-            carry,
-            mesh=pipe.mesh,
-            n_microbatches=pipe.n_microbatches,
+        return pipelined_block_stack(
+            pipe,
+            block=block,
+            stacked={
+                "params": self.variables["params"]["layers"],
+                "is_global": jnp.asarray(self._is_global_attn),
+            },
+            xs=list(embedded),
+            static={
+                "positions": positions,
+                "mask": mask,
+                "adarms": list(adarms_cond),
+                "image_mask": image_mask,
+            },
+            apply_block=apply_block,
+            dropout=self.dropout,
+            deterministic=deterministic,
             remat=self.remat_policy != "none",
         )
-        return out["xs"]
 
     def init_params(self, use_adarms: Sequence[bool]):
         self.embed(jnp.zeros((1, 1), dtype=jnp.int32))

@@ -117,10 +117,14 @@ class LAPGemma3(LAP):
         # parallelism): the sp-constrained ViT output otherwise meets a
         # batch-axis dynamic-slice and SPMD falls back to involuntary full
         # rematerialization of the slice (same fix as LAP.embed_prefix).
-        per_cam = [
-            activation_sharding_constraint(t)
-            for t in jnp.split(tokens_all, len(names), axis=0)
-        ]
+        # Under a pipeline context the pins are skipped for the same reason
+        # as there: pp never composes with tp/sp, and on a (dp, pp, fsdp)
+        # mesh the pins themselves become the conflict site between the ViT
+        # backward's propagated sharding and the batch layout.
+        from lap_tpu.parallel.pipeline import current_pipeline
+
+        pin = (lambda t: t) if current_pipeline() else activation_sharding_constraint
+        per_cam = [pin(t) for t in jnp.split(tokens_all, len(names), axis=0)]
         toks, masks = [], []
         for name, tok in zip(names, per_cam, strict=True):
             toks.append(tok)

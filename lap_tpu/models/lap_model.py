@@ -433,13 +433,19 @@ class LAP(nn.Module):
         """Per-token label log-prob (f32) and argmax predictions, chunked
         over the token axis (see CE_CHUNK). Numerically identical to the
         single-shot log_softmax + take_along_axis: each token's logsumexp is
-        a full-vocab reduction either way."""
+        a full-vocab reduction either way. Both branches compute logits via
+        ``gemma.tied_table_logits`` — the table is fetched OUTSIDE the
+        lax.map body (flax cannot create/read params inside a mapped body
+        at init time), and training never takes ``Embedder.decode``'s int8
+        fast path (that is decode-shape serving only)."""
+        from lap_tpu.models.gemma import tied_table_logits
+
         table = self.llm.embedder.input_embedding_table  # [V, D] (tied head)
         b, t, d = pre_logits.shape
         chunk = self.CE_CHUNK
 
         if t <= chunk:
-            logits = self.llm.decode_logits(pre_logits).astype(jnp.float32)
+            logits = tied_table_logits(pre_logits, table).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)
             token_logp = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
             pred = jnp.argmax(logits, axis=-1) if need_pred else None
@@ -454,7 +460,7 @@ class LAP(nn.Module):
 
         def one(args):
             pl_c, lb_c = args
-            logits = jnp.dot(pl_c, table.T).astype(jnp.float32)  # [B, C, V]
+            logits = tied_table_logits(pl_c, table).astype(jnp.float32)  # [B, C, V]
             logz = jax.nn.logsumexp(logits, axis=-1)
             lab = jnp.take_along_axis(logits, lb_c[..., None], axis=-1)[..., 0]
             pred = (

@@ -91,7 +91,8 @@ def make_mesh(
     devices: list | None = None,
 ) -> Mesh:
     """Build a ``Mesh`` with axes ``(dp, fsdp, tp)`` — or, with
-    ``pp_devices > 1``, ``(dp, pp, fsdp, tp)``.
+    ``pp_devices > 1``, ``(pp, dp, fsdp, tp)`` (pp OUTERMOST in the device
+    order; see the body comment).
 
     The physical device order (from ``mesh_utils.create_device_mesh`` when
     possible) is reshaped so that the tp axis varies fastest (tightest ICI

@@ -243,20 +243,22 @@ def pipeline_apply(
     mesh: Mesh,
     n_microbatches: int,
     remat: bool = False,
+    static=None,
 ):
     """Run ``x`` through ``L`` stacked layers as a ``P``-stage pipeline.
 
     Args:
-        stage_fn: ``(layer_params, x) -> x`` — ONE layer. ``x`` is an
-            arbitrary pytree of per-example arrays (leading batch dim); any
-            leaf the layer does not transform (masks, positions) must be
-            passed through unchanged so it stays with its microbatch.
+        stage_fn: ``(layer_params, x) -> x`` — ONE layer (or, with
+            ``static``, ``(layer_params, x, static_mb) -> x``). ``x`` is an
+            arbitrary pytree of per-example arrays (leading batch dim).
         stacked_params: pytree whose every leaf has a leading ``[L]`` layer
             axis (the ``nn.scan`` checkpoint layout). ``L`` must divide by
             the mesh's pp size.
         x: pytree of ``[B, ...]`` arrays; ``B`` must divide by
             ``n_microbatches`` (after the data shard, if the mesh has
-            dp/fsdp axes of size > 1).
+            dp/fsdp axes of size > 1). Only leaves the layers TRANSFORM
+            belong here: ``x`` is the carry that rides every stage-to-stage
+            ``ppermute`` and the final cross-stage ``psum``.
         mesh: a mesh with a ``pp`` axis; optional ``dp``/``fsdp`` axes the
             batch dim shards over (fsdp additionally shards parameter
             storage within each stage — see module docstring). A ``tp`` axis
@@ -265,6 +267,15 @@ def pipeline_apply(
             fraction is ``(P-1)/(M+P-1)``; M >= 2*P keeps it under ~33%.
         remat: rematerialize each layer in the backward pass (the training
             default elsewhere in this repo, ``gemma.Module.remat_policy``).
+        static: optional pytree of ``[B, ...]`` arrays the layers read but
+            never transform (attention masks, positions, adaRMS
+            conditioning). Every stage holds the full batch locally (the
+            batch in_spec has no pp component), so these are indexed per
+            tick by microbatch id instead of riding the carry — at Gemma3's
+            800-token budget the ``[B, T, T]`` boolean mask alone would
+            otherwise dominate the ICI bytes of every ppermute hop and the
+            closing psum. Gradients still flow to static leaves (adaRMS
+            conditioning is a trained input) through the local indexing.
 
     Returns:
         pytree like ``x``: the activations after all ``L`` layers.
@@ -283,6 +294,15 @@ def pipeline_apply(
         raise ValueError(
             f"batch {batch} not divisible by dp*microbatches = {dp}*{n_microbatches}"
         )
+    has_static = static is not None
+    if has_static:
+        for leaf in jax.tree.leaves(static):
+            if leaf.shape[0] != batch:
+                raise ValueError(
+                    f"static leaf batch {leaf.shape[0]} != carry batch {batch}"
+                )
+    else:
+        static = {}
 
     m = n_microbatches
 
@@ -304,31 +324,32 @@ def pipeline_apply(
             fsdp_dims,
         )
 
-    def gathered_stage(layer_params, h):
+    def gathered_stage(layer_params, h, st):
         # The gather lives INSIDE the (optional) remat boundary: with remat
         # the gathered weights are re-gathered in the backward pass instead
         # of saved as per-layer residuals — peak weight memory stays at the
         # sharded stage plus ONE gathered layer (ZeRO-3), at the standard
         # cost of one extra all-gather per layer in the backward.
-        return stage_fn(gather_layer(layer_params), h)
+        gathered = gather_layer(layer_params)
+        return stage_fn(gathered, h, st) if has_static else stage_fn(gathered, h)
 
     layer = jax.checkpoint(gathered_stage) if remat else gathered_stage
 
-    def run_stage(params_local, mb):
+    def run_stage(params_local, mb, st):
         """All of this stage's layers over one microbatch."""
 
         def body(h, layer_params):
-            return layer(layer_params, h), None
+            return layer(layer_params, h, st), None
 
         out, _ = jax.lax.scan(body, mb, params_local)
         return out
 
-    def pp_fn(params_local, x_local):
+    def pp_fn(params_local, x_local, static_local):
         stage = jax.lax.axis_index(PP_AXIS)
         # [B_local, ...] -> [M, B_local/M, ...] microbatches.
-        x_mb = jax.tree.map(
-            lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:]), x_local
-        )
+        as_mb = lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:])  # noqa: E731
+        x_mb = jax.tree.map(as_mb, x_local)
+        static_mb = jax.tree.map(as_mb, static_local)
         state = jax.tree.map(lambda a: jnp.zeros_like(a[0]), x_mb)
         outputs = jax.tree.map(jnp.zeros_like, x_mb)
         shift = [(i, (i + 1) % pp) for i in range(pp)]
@@ -341,7 +362,14 @@ def pipeline_apply(
             cur = jax.tree.map(
                 lambda f, s: jnp.where(stage == 0, f, s), feed, state
             )
-            out = run_stage(params_local, cur)
+            # Untransformed inputs: stage s works on microbatch t-s at tick
+            # t, and holds the full local batch — index instead of carrying.
+            # Bubble ticks read a clipped (wrong) slice; their outputs are
+            # masked below, so they contribute zero value and zero gradient.
+            st = jax.tree.map(
+                lambda a: a[jnp.clip(t - stage, 0, m - 1)], static_mb
+            )
+            out = run_stage(params_local, cur, st)
             # The last stage emits microbatch t-(P-1); ticks before the
             # pipeline fills produce garbage, masked here (and therefore
             # receiving zero cotangent in the backward pass).
@@ -380,7 +408,11 @@ def pipeline_apply(
         lambda leaf: pp_layer_param_spec(tuple(leaf.shape), pp, fsdp),
         stacked_params,
     )
-    in_specs = (param_specs, jax.tree.map(lambda _: batch_spec, x))
+    in_specs = (
+        param_specs,
+        jax.tree.map(lambda _: batch_spec, x),
+        jax.tree.map(lambda _: batch_spec, static),
+    )
     out_specs = jax.tree.map(lambda _: batch_spec, x)
     return jax.shard_map(
         pp_fn,
@@ -388,4 +420,4 @@ def pipeline_apply(
         in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
-    )(stacked_params, x)
+    )(stacked_params, x, static)

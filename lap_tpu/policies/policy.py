@@ -229,13 +229,24 @@ class ARPolicy(_ModelPolicy):
         return {"tokens": sampled[i : i + 1]}
 
 
+def _escape_record_key(k: str) -> str:
+    """'/' is the flattener's path separator, but it is also a legal request
+    key character (openpi-style flat keys like 'observation/state'); escape
+    it so such keys round-trip as themselves instead of as nesting."""
+    return k.replace("%", "%25").replace("/", "%2F")
+
+
+def _unescape_record_key(k: str) -> str:
+    return k.replace("%2F", "/").replace("%25", "%")
+
+
 def _flatten_record(prefix: str, tree: dict, out: dict) -> None:
     """Flatten a (possibly nested) request/response dict into npz-storable
     ``prefix/key/...`` entries — nested observation dicts included, so a
     recorded request can be replayed byte-identically
     (scripts/compare_served_outputs.py)."""
     for k, v in tree.items():
-        key = f"{prefix}/{k}"
+        key = f"{prefix}/{_escape_record_key(str(k))}"
         if isinstance(v, dict):
             _flatten_record(key, v, out)
         elif isinstance(v, (np.ndarray, np.number, int, float, str, bool)):
@@ -249,7 +260,9 @@ def unflatten_record(flat: dict, prefix: str) -> dict:
         if not key.startswith(prefix + "/"):
             continue
         node = out
-        parts = key[len(prefix) + 1 :].split("/")
+        parts = [
+            _unescape_record_key(p) for p in key[len(prefix) + 1 :].split("/")
+        ]
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = v

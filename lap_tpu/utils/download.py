@@ -216,7 +216,12 @@ def _download_to_local_cache(url: str, target: Path, ops, force_download: bool) 
             marker.unlink()
         logger.info("downloading %s -> %s", url, target)
         if url.startswith("gs://"):
-            ops.copy(url, str(scratch))
+            try:
+                ops.copy(url, str(scratch))
+            except FileNotFoundError as e:  # no gsutil binary (zero egress)
+                raise RuntimeError(
+                    f"no downloader available for {url}; pre-populate {target}"
+                ) from e
         else:
             try:
                 _run(["curl", "-fsSL", "-o", str(scratch), url])
@@ -232,7 +237,17 @@ def _download_to_local_cache(url: str, target: Path, ops, force_download: bool) 
 def _download_to_remote_cache(url: str, target: str, ops, force_download: bool) -> str:
     """Remote (gs://) cache: scratch object/dir promoted via rename; the
     COMMIT_SUCCESS object marks completeness (no POSIX locks in GCS — last
-    writer wins, which matches the reference's remote-cache behavior)."""
+    writer wins, which matches the reference's remote-cache behavior).
+
+    The markers are written AFTER the promotion, at the target: a GCS
+    "rename" of a prefix is per-object copy+delete in arbitrary order, so a
+    marker riding inside the scratch could land at the target before the
+    data objects do and a reader would see a marked-but-incomplete entry.
+    Marker-last keeps the invariant "marker present => promotion finished"
+    (a kill between rename and marker just re-downloads next call). It also
+    keeps single-OBJECT assets working with real gsutil: ``mv`` of a URL
+    that names both an object and pseudo-children is ambiguous, while an
+    object-only scratch moves cleanly."""
     marker = f"{target.rstrip('/')}/{COMMIT_MARKER}"
     if not force_download and ops.exists(target) and ops.exists(marker):
         return target
@@ -241,10 +256,15 @@ def _download_to_remote_cache(url: str, target: str, ops, force_download: bool) 
         if ops.exists(stale):
             ops.remove(stale)
     logger.info("downloading %s -> %s (remote cache)", url, target)
-    ops.copy(url, scratch)
-    ops.write_text(f"{scratch.rstrip('/')}/{COMMIT_MARKER}", "ok")
-    ops.write_text(f"{scratch.rstrip('/')}/{LEGACY_COMMIT_MARKER}", "ok")
+    try:
+        ops.copy(url, scratch)
+    except FileNotFoundError as e:  # no gsutil binary (zero egress)
+        raise RuntimeError(
+            f"no downloader available for {url}; pre-populate {target}"
+        ) from e
     ops.rename(scratch, target)
+    ops.write_text(marker, "ok")
+    ops.write_text(f"{target.rstrip('/')}/{LEGACY_COMMIT_MARKER}", "ok")
     return target
 
 

@@ -27,8 +27,17 @@ cd "$(dirname "$0")/.."
 ran=0
 fail=0
 note() { printf '\n== %s\n' "$*"; }
+# A SET-but-missing asset path is a user error, not a skip: fail loudly
+# instead of printing "all available parity stages passed" past a typo.
+require_path() { # $1 = env var name, $2 = its value
+  if [[ ! -e "$2" ]]; then
+    note "ERROR: $1 is set but $2 does not exist"
+    exit 2
+  fi
+}
 
-if [[ -n "${LAP_TPU_TOKENIZER_MODEL:-}" && -f "${LAP_TPU_TOKENIZER_MODEL}" ]]; then
+if [[ -n "${LAP_TPU_TOKENIZER_MODEL:-}" ]]; then
+  require_path LAP_TPU_TOKENIZER_MODEL "${LAP_TPU_TOKENIZER_MODEL}"
   note "tokenizer byte-parity vs sentencepiece (${LAP_TPU_TOKENIZER_MODEL})"
   python -m pytest tests/test_tokenizer.py -q \
     -k "real_model or byte_parity_vs_sentencepiece" || fail=1
@@ -38,6 +47,7 @@ else
 fi
 
 if [[ -n "${LAP_TPU_FAST_PROCESSOR_DIR:-}" ]]; then
+  require_path LAP_TPU_FAST_PROCESSOR_DIR "${LAP_TPU_FAST_PROCESSOR_DIR}"
   note "FAST action-codec byte-compat vs released processor (${LAP_TPU_FAST_PROCESSOR_DIR})"
   python -m pytest tests/test_fast_bpe.py -q \
     -k "matches_released_processor" || fail=1
@@ -47,6 +57,10 @@ else
 fi
 
 if [[ -n "${LAP_TPU_RELEASED_CKPT:-}" && -n "${LAP_TPU_REF_RECORDS:-}" ]]; then
+  # gs:// checkpoint dirs resolve through the download cache at restore;
+  # only local paths can be existence-checked here.
+  [[ "${LAP_TPU_RELEASED_CKPT}" == gs://* ]] || require_path LAP_TPU_RELEASED_CKPT "${LAP_TPU_RELEASED_CKPT}"
+  require_path LAP_TPU_REF_RECORDS "${LAP_TPU_REF_RECORDS}"
   note "served-output comparison: ${LAP_TPU_RELEASED_CKPT} vs ${LAP_TPU_REF_RECORDS}"
   python scripts/compare_served_outputs.py \
     --config "${LAP_TPU_PARITY_CONFIG:-lap_libero}" \

@@ -131,6 +131,41 @@ def test_compare_served_outputs_detects_mismatch(recorded, tmp_path):
     assert "MISMATCH" in proc.stdout
 
 
+def test_record_flattening_roundtrips_slash_keys():
+    """openpi-style flat request keys ('observation/state') contain the
+    flattener's separator; they must round-trip as themselves, not as
+    nesting."""
+    from lap_tpu.policies.policy import _flatten_record
+
+    req = {
+        "observation/exterior_image_1_left": np.zeros((2, 2), np.uint8),
+        "nested": {"a/b": np.float32(1.5), "plain": np.int32(7)},
+    }
+    flat: dict = {}
+    _flatten_record("obs", req, flat)
+    back = unflatten_record(flat, "obs")
+    assert set(back) == {"observation/exterior_image_1_left", "nested"}
+    assert back["nested"]["a/b"] == np.float32(1.5)
+    assert back["nested"]["plain"] == 7
+
+
+def test_run_gated_parity_rejects_missing_asset_path(tmp_path):
+    """A SET-but-nonexistent asset path is a user error (typo), not a skip:
+    the kit must exit 2 instead of reporting success past it."""
+    env = {k: v for k, v in os.environ.items() if not k.startswith("LAP_TPU_")}
+    env["LAP_TPU_TOKENIZER_MODEL"] = str(tmp_path / "typo.model")
+    proc = subprocess.run(
+        ["bash", "scripts/run_gated_parity.sh"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+    )
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert "ERROR: LAP_TPU_TOKENIZER_MODEL is set but" in proc.stdout
+
+
 def test_run_gated_parity_skips_cleanly_without_assets():
     env = {
         k: v
