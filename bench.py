@@ -804,6 +804,33 @@ def main():
         )
     except Exception as e:  # noqa: BLE001 - keep the primary metric printing
         record["ar_int8_bucket64_skipped"] = str(e)[:120]
+    try:
+        # int4 weight-only decode (serve_policy --quantize int4): nibble-
+        # packed group-wise weights halve the int8 decode bytes again — the
+        # lever that takes the AR language-action mode past the 15 Hz bar
+        # whose int8 floor round 5 documented (~12 Hz: 14 HBM-bound decode
+        # steps x ~4.1 ms + prefill).
+        record.update(
+            bench_ar_decode(
+                _flagship_cfg(on_tpu, quant="int4"), on_tpu, key_prefix="ar_int4"
+            )
+        )
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        record["ar_int4_skipped"] = str(e)[:120]
+    try:
+        # Fully-composed fast-AR serving point: int4 decode + 64-token
+        # prompt bucketing (serve_policy --quantize int4 --token_bucket 64).
+        import dataclasses as _dc
+
+        cfg_i4b = _dc.replace(
+            _flagship_cfg(on_tpu, quant="int4"),
+            max_token_len=64 if on_tpu else 16,
+        )
+        record.update(
+            bench_ar_decode(cfg_i4b, on_tpu, key_prefix="ar_int4_bucket64")
+        )
+    except Exception as e:  # noqa: BLE001 - keep the primary metric printing
+        record["ar_int4_bucket64_skipped"] = str(e)[:120]
     record.update(bench_train_step(on_tpu))
     # train_with_input runs BEFORE gemma3_train: an OOM in the 800-token
     # gemma3 step would leave HBM fragmented and poison whatever follows.

@@ -146,10 +146,12 @@ class Embedder(nn.Module):
             (self.vocab_size, self.embed_dim),
         )
         if lora.quant_enabled(self.quant, None, self.vocab_size * self.embed_dim):
-            # Vocab projection for AR decode: [V, D] -> int8 [D, V]. At one
-            # token/step this read is ~10% of the whole gemma_2b decode.
+            # Vocab projection for AR decode: [V, D] -> quantized [D, V]. At
+            # one token/step this read is ~10% of the whole gemma_2b decode
+            # (the single biggest decode matmul: 527M params at PaliGemma
+            # vocab size).
             self._decode_quant = lora.quant_vars(
-                self, "decode_", self.input_embedding_table, (1, 0), 1
+                self, "decode_", self.input_embedding_table, (1, 0), 1, self.quant
             )
 
     def encode(self, tokens):
@@ -454,8 +456,8 @@ class Module(nn.Module):
     # per layer), so quantized weights must be real per-layer arrays. Use
     # ``unstack_layer_params`` to convert a scan-stacked checkpoint.
     scan_layers: bool = True
-    # Weight-only quantization of the decode matmuls ("int8" or None).
-    # Serving-only and opt-in: requires a populated "quant" variable
+    # Weight-only quantization of the decode matmuls ("int8", "int4" or
+    # None). Serving-only and opt-in: requires a populated "quant" variable
     # collection (see lap_model.LAP.quantize_fn / policy_config).
     quant: str | None = None
 

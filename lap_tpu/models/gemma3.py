@@ -384,9 +384,9 @@ class Module(nn.Module):
     # jax.checkpoint_policies name, or "none" for no remat.
     remat_policy: str = "nothing_saveable"
     # Per-layer blocks instead of nn.scan (serving-only; required for the
-    # int8 decode path — see gemma.Module.scan_layers).
+    # quantized decode path — see gemma.Module.scan_layers).
     scan_layers: bool = True
-    # Weight-only decode quantization ("int8" or None), serving-only.
+    # Weight-only decode quantization ("int8", "int4" or None), serving-only.
     quant: str | None = None
 
     def setup(self):

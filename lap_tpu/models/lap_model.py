@@ -95,9 +95,9 @@ class LAPConfig:
     remat_policy: str = "nothing_saveable"
     # Serving-only knobs (set by policy_config when quantized serving is
     # requested): scan_layers=False builds per-layer blocks whose weights
-    # are real arrays (required for the Pallas int8 path; see
-    # gemma.Module.scan_layers), quant="int8" streams decode-shaped matmuls
-    # through int8 weight copies in the "quant" variable collection.
+    # are real arrays (required for the Pallas dequant kernels; see
+    # gemma.Module.scan_layers), quant="int8"/"int4" streams decode-shaped
+    # matmuls through quantized weight copies in the "quant" collection.
     scan_layers: bool = True
     quant: str | None = None
 

@@ -17,12 +17,14 @@ import math
 import flax.linen as nn
 import jax.numpy as jnp
 
+from lap_tpu.ops.int4_matmul import int4_matmul, quantize_int4
 from lap_tpu.ops.int8_matmul import int8_matmul, quantize_int8
 
-# Row threshold for dispatching to the Pallas int8 dequant-matmul: decode
+# Row threshold for dispatching to the Pallas dequant-matmuls: decode
 # calls (1 AR token, or batch x action_horizon flow-suffix rows) are HBM
-# weight-read bound and win ~2x from int8 streaming; prefill calls
-# (hundreds of rows) are MXU-bound and stay on the exact bf16 einsum.
+# weight-read bound and win ~2x from int8 streaming (~2x again from int4);
+# prefill calls (hundreds of rows) are MXU-bound and stay on the exact
+# bf16 einsum.
 QUANT_MAX_ROWS = 128
 # Weights below this element count stay bf16: the kernel's fixed dispatch
 # cost (~10 us) eats the bandwidth saving on small matrices (measured on
@@ -30,6 +32,17 @@ QUANT_MAX_ROWS = 128
 # default, gemma_2b's qkv/proj/MLP/vocab matmuls quantize; the tiny
 # kv_einsum and the 300m expert's attention projections do not.
 QUANT_MIN_WEIGHT_ELEMS = 4 * 2**20
+# int4 group size preference (rows of the contraction axis per scale).
+# Largest candidate dividing K/2 wins; K with no candidate (odd / tiny)
+# falls back to int8 per-channel for that weight.
+INT4_GROUP_CANDIDATES = (256, 128, 64, 32)
+
+
+def _int4_group(k: int) -> int | None:
+    for g in INT4_GROUP_CANDIDATES:
+        if k % (2 * g) == 0:
+            return g
+    return None
 
 
 def _plan_quant_einsum(eqn: str):
@@ -56,11 +69,16 @@ def _plan_quant_einsum(eqn: str):
     return x_batch, contract, w_out, w_perm, out_perm
 
 
-def _quant_pair(w_raw, w_perm, n_contract: int):
-    """One-time relayout + symmetric per-output-channel int8 quantization."""
+def _quant_pair(w_raw, w_perm, n_contract: int, mode: str):
+    """One-time relayout + quantization: int8 per-output-channel, or int4
+    group-wise (falling back to int8 when K fits no group candidate)."""
     wt = jnp.transpose(w_raw, w_perm)
     k = math.prod(wt.shape[:n_contract])
     n = math.prod(wt.shape[n_contract:])
+    if mode == "int4":
+        g = _int4_group(k)
+        if g is not None:
+            return quantize_int4(wt.reshape(k, n), group_size=g)
     return quantize_int8(wt.reshape(k, n), axis=0)
 
 
@@ -69,13 +87,17 @@ def quant_enabled(quant: str | None, lora_config, n_weight_elems: int) -> bool:
     weight big enough that the kernel's fixed cost pays for itself."""
     if quant is None:
         return False
-    if quant != "int8":
+    if quant not in ("int8", "int4"):
         raise ValueError(f"unknown quant mode: {quant}")
     return lora_config is None and n_weight_elems >= QUANT_MIN_WEIGHT_ELEMS
 
 
-def quant_vars(mdl: nn.Module, prefix: str, w_raw, w_perm, n_contract: int):
-    """Declare (or read) the paired int8/scale variables for one weight.
+def quant_vars(mdl: nn.Module, prefix: str, w_raw, w_perm, n_contract: int,
+               mode: str = "int8"):
+    """Declare (or read) the paired quantized-weight/scale variables for one
+    weight. The variable name records the actual packing ("w_i8" per-channel
+    int8, "w_i4" nibble-packed group-wise int4 — a weight whose K fits no
+    int4 group candidate keeps int8 even in int4 mode).
 
     The pair is computed at most once per call (memoized across the two
     init lambdas — the eager populate pass would otherwise transpose and
@@ -84,20 +106,28 @@ def quant_vars(mdl: nn.Module, prefix: str, w_raw, w_perm, n_contract: int):
 
     def pair(i: int):
         if "p" not in memo:
-            memo["p"] = _quant_pair(w_raw, w_perm, n_contract)
+            memo["p"] = _quant_pair(w_raw, w_perm, n_contract, mode)
         return memo["p"][i]
 
-    name = f"{prefix}w_i8" if prefix else "w_i8"
-    sname = f"{prefix}scale" if prefix else "scale"
-    w_i8 = mdl.variable("quant", name, lambda: pair(0))
+    k = math.prod(w_raw.shape[p] for p in w_perm[:n_contract])
+    packed4 = mode == "int4" and _int4_group(k) is not None
+    name = f"{prefix}w_i4" if packed4 else f"{prefix}w_i8"
+    sname = f"{prefix}scale"
+    w_q = mdl.variable("quant", name, lambda: pair(0))
     scale = mdl.variable("quant", sname, lambda: pair(1))
-    return w_i8.value, scale.value
+    return w_q.value, scale.value
 
 
-def quant_matmul(x, w_i8, scale, out_shape):
-    """Flatten-to-2D int8 matmul + reshape; caller guarantees row budget."""
-    k = w_i8.shape[0]
-    y2d = int8_matmul(x.reshape(-1, k), w_i8, scale)
+def quant_matmul(x, w_q, scale, out_shape):
+    """Flatten-to-2D dequant matmul + reshape; caller guarantees the row
+    budget. The packing is recovered from the scale rank: int4 group scales
+    are 2-D [K/G, N], int8 per-channel scales are 1-D [N]."""
+    if scale.ndim == 2:
+        k = 2 * w_q.shape[0]
+        y2d = int4_matmul(x.reshape(-1, k), w_q, scale)
+    else:
+        k = w_q.shape[0]
+        y2d = int8_matmul(x.reshape(-1, k), w_q, scale)
     return y2d.reshape(out_shape)
 
 
@@ -125,10 +155,10 @@ def quant_dispatch(
     """
     if not quant_enabled(quant, lora_config, w_raw.size):
         return None
-    w_i8, scale = quant_vars(mdl, prefix, w_raw, w_perm, n_contract)
+    w_q, scale = quant_vars(mdl, prefix, w_raw, w_perm, n_contract, quant)
     if math.prod(x.shape[:-1]) > QUANT_MAX_ROWS:
         return None
-    return quant_matmul(x, w_i8, scale, out_shape)
+    return quant_matmul(x, w_q, scale, out_shape)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,11 +193,12 @@ def _lora_einsum(eqn: str, x, a, b, scaling: float):
 class Einsum(nn.Module):
     """y = einsum(spec, x, w) with an optional low-rank residual adapter.
 
-    With ``quant="int8"`` (serving-only, opt-in) an int8 copy of the weight
-    lives in the "quant" variable collection; decode-shaped calls (few rows)
-    stream it through the Pallas dequant-matmul while prefill keeps the
-    exact bf16 einsum. LoRA-adapted einsums never quantize (adapters are
-    unmerged, so the base-weight-only kernel would drop them).
+    With ``quant="int8"``/``"int4"`` (serving-only, opt-in) a quantized copy
+    of the weight lives in the "quant" variable collection; decode-shaped
+    calls (few rows) stream it through the matching Pallas dequant-matmul
+    while prefill keeps the exact bf16 einsum. LoRA-adapted einsums never
+    quantize (adapters are unmerged, so the base-weight-only kernel would
+    drop them).
     """
 
     shape: tuple[int, ...]
@@ -181,13 +212,13 @@ class Einsum(nn.Module):
         w_raw = self.param("w", self.init_fn, self.shape)
         if quant_enabled(self.quant, self.lora_config, math.prod(self.shape)):
             x_batch, contract, _w_out, w_perm, out_perm = _plan_quant_einsum(eqn)
-            w_i8, scale = quant_vars(self, "", w_raw, w_perm, len(contract))
+            w_q, scale = quant_vars(self, "", w_raw, w_perm, len(contract), self.quant)
             if math.prod(x.shape[: len(x_batch)]) <= QUANT_MAX_ROWS:
                 out_dims = x.shape[: len(x_batch)] + tuple(
                     w_raw.shape[p] for p in w_perm[len(contract) :]
                 )
                 return jnp.transpose(
-                    quant_matmul(x, w_i8, scale, out_dims), out_perm
+                    quant_matmul(x, w_q, scale, out_dims), out_perm
                 )
         w = w_raw.astype(dtype)
         out = jnp.einsum(eqn, x, w)

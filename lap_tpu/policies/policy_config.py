@@ -93,8 +93,9 @@ def _restore(
 
     if tp > 1 and quantize is not None:
         raise ValueError(
-            "int8 quantized serving is single-chip (the Pallas dequant-matmul "
-            "is not GSPMD-partitioned); use tp=1 or quantize=None"
+            "quantized serving (int8/int4) is single-chip (the Pallas "
+            "dequant-matmuls are not GSPMD-partitioned); use tp=1 or "
+            "quantize=None"
         )
     # Inference always runs the model in bf16 on TPU (reference
     # policy_config_adapter loads params via model.load in the model dtype).
@@ -109,11 +110,12 @@ def _restore(
         scan_unroll=train_config.model.backbone_depth,
     )
     if quantize is not None:
-        # Weight-only int8 decode: per-layer blocks (Pallas kernels need
-        # real per-layer weight arrays, not scan slices) + a "quant"
+        # Weight-only quantized decode: per-layer blocks (Pallas kernels
+        # need real per-layer weight arrays, not scan slices) + a "quant"
         # variable collection populated from the restored bf16 params.
-        # Opt-in: ~0.4% per-matmul weight rounding on the decode path;
-        # prefill stays exact bf16.
+        # Opt-in: ~0.4% per-matmul weight rounding at int8 (per-channel
+        # scales), ~2% at int4 (group-wise scales, 256 rows/group); prefill
+        # stays exact bf16 either way.
         overrides.update(quant=quantize, scan_layers=False, scan_unroll=1)
     model_cfg = dataclasses.replace(train_config.model, **overrides)
     model = model_cfg.create_module()

@@ -123,9 +123,10 @@ def main():
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--record_dir", default=None)
     parser.add_argument(
-        "--quantize", default=None, choices=["int8"],
-        help="weight-only int8 on the decode path (prefill stays bf16): "
-        "~2x decode bandwidth for ~0.4%% per-matmul weight rounding",
+        "--quantize", default=None, choices=["int8", "int4"],
+        help="weight-only quantization on the decode path (prefill stays "
+        "bf16): int8 ~2x decode bandwidth for ~0.4%% per-matmul weight "
+        "rounding; int4 ~4x for ~2%% (group-wise scales)",
     )
     parser.add_argument(
         "--token_bucket", type=int, default=None,
