@@ -3,9 +3,21 @@
 Batch-1 AR decode reads every decode weight once per token, so its latency
 is weight-bytes / HBM-bandwidth. The int8 kernel (``int8_matmul.py``)
 halves the bf16 bytes; this kernel halves them AGAIN by packing two 4-bit
-weights per byte. That is what pushes the AR language-action mode over the
-15 Hz serving bar (int8's measured floor was ~12 Hz: 14 sequential decode
-steps x ~4.1 ms, see bench.py / README).
+weights per byte.
+
+MEASURED RESULT (v5e, BENCH_r05): int4 decode is SLOWER than int8 — 203 vs
+245 tok/s (10.6 vs 12.5 Hz composed language-action rate). Halving the
+streamed bytes did not halve the time because the kernel is no longer
+bandwidth-bound: each grid step unpacks a ``[G, bn]`` int32 block with four
+VPU shift ops and runs TWO MXU dots + two scale-multiplies where int8 runs
+one, and at decode shapes (m=16 rows of real work) that VPU/MXU overhead
+exceeds the ~2x byte saving. Do not re-attempt a pure-speed int4 decode on
+this hardware without first making the unpack free (e.g. int4-native MXU
+operands, unavailable to Pallas today). int4 remains worth shipping for
+CAPACITY: the decode copy shrinks ~4x vs bf16 (~2x vs int8), which is what
+lets a bf16-prefill + quantized-decode dual copy of gemma3_4b-class models
+fit a single 16 GB chip (bf16+int8 needs ~14 GB — marginal; bf16+int4
+~12 GB). Speed-wise int8 stays the recommended decode mode.
 
 Because 4-bit rounding is too coarse for a per-output-channel scale on
 transformer weights, quantization here is GROUP-WISE: the contraction axis
